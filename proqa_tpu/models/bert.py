@@ -1,0 +1,213 @@
+"""Pure-JAX BERT encoder, designed for TPU/XLA.
+
+Replaces the reference's dependency on HuggingFace `BertModel`
+(/root/reference/retrieval/retriever.py:16-17, /root/reference/qa/bert_retrieve_qa.py:24-27)
+with a from-scratch functional implementation:
+
+* params are a plain pytree (stacked per-layer leaves, `lax.scan` over layers —
+  one compiled layer body instead of 12 unrolled ones),
+* bfloat16 activation policy with fp32 master params, fp32 layernorm/softmax,
+* static shapes everywhere; attention mask is additive, applied pre-softmax,
+* weight layout converts 1:1 from HF checkpoints (models/hf_convert.py) so
+  pretrained BERT recipes carry over.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # nested dict pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    dtype: Any = jnp.bfloat16  # activation/compute dtype
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_heads == 0
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "BertConfig":
+        """Small config for tests/CI (CPU-mesh friendly)."""
+        base = dict(
+            vocab_size=128,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=64,
+            max_position_embeddings=64,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+def _dense_init(rng, shape, scale):
+    return (scale * jax.random.normal(rng, shape)).astype(jnp.float32)
+
+
+def _ln_params(width):
+    return {"scale": jnp.ones((width,), jnp.float32), "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_bert_params(rng: jax.Array, cfg: BertConfig) -> Params:
+    """Truncated-normal-ish init matching BERT's initializer_range."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    s = cfg.initializer_range
+    keys = jax.random.split(rng, 16)
+    k = iter(keys)
+
+    def dense(rng_, d_in, d_out):
+        return {"kernel": _dense_init(rng_, (d_in, d_out), s), "bias": jnp.zeros((d_out,), jnp.float32)}
+
+    # Per-layer weights are stacked on a leading num_layers axis for lax.scan.
+    def stacked_dense(rng_, d_in, d_out):
+        return {
+            "kernel": _dense_init(rng_, (cfg.num_layers, d_in, d_out), s),
+            "bias": jnp.zeros((cfg.num_layers, d_out), jnp.float32),
+        }
+
+    def stacked_ln():
+        return {
+            "scale": jnp.ones((cfg.num_layers, h), jnp.float32),
+            "bias": jnp.zeros((cfg.num_layers, h), jnp.float32),
+        }
+
+    return {
+        "embeddings": {
+            "word": _dense_init(next(k), (cfg.vocab_size, h), s),
+            "position": _dense_init(next(k), (cfg.max_position_embeddings, h), s),
+            "token_type": _dense_init(next(k), (cfg.type_vocab_size, h), s),
+            "ln": _ln_params(h),
+        },
+        "layers": {
+            "q": stacked_dense(next(k), h, h),
+            "k": stacked_dense(next(k), h, h),
+            "v": stacked_dense(next(k), h, h),
+            "attn_out": stacked_dense(next(k), h, h),
+            "attn_ln": stacked_ln(),
+            "mlp_in": stacked_dense(next(k), h, i),
+            "mlp_out": stacked_dense(next(k), i, h),
+            "mlp_ln": stacked_ln(),
+        },
+        "pooler": dense(next(k), h, h),
+    }
+
+
+def _layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
+    """LayerNorm in fp32 regardless of activation dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dtype)
+
+
+def _dense(x: jax.Array, p: Params) -> jax.Array:
+    kernel = p["kernel"].astype(x.dtype)
+    y = jnp.einsum("...d,df->...f", x, kernel, preferred_element_type=jnp.float32)
+    return (y + p["bias"]).astype(x.dtype)
+
+
+def _dropout(x: jax.Array, rate: float, rng, deterministic: bool) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic):
+    b, t, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    def heads(y):
+        return y.reshape(b, t, nh, hd)
+
+    q = heads(_dense(x, p["q"]))
+    k = heads(_dense(x, p["k"]))
+    v = heads(_dense(x, p["v"]))
+
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + mask_bias  # fp32
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, cfg.attention_dropout, drop_rng, deterministic)
+    ctx = jnp.einsum(
+        "bnqk,bknd->bqnd", probs.astype(x.dtype), v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return _dense(ctx.reshape(b, t, h), p["attn_out"])
+
+
+def bert_encoder(
+    params: Params,
+    cfg: BertConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    token_type_ids: jax.Array | None = None,
+    *,
+    deterministic: bool = True,
+    dropout_rng: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (sequence_output [B,T,H], pooled_output [B,H]).
+
+    pooled_output = tanh(W · h_CLS), the embedding both retriever towers and
+    the reader's selection head consume (reference retriever.py:24-29).
+    """
+    b, t = input_ids.shape
+    emb = params["embeddings"]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+
+    x = (
+        jnp.take(emb["word"], input_ids, axis=0)
+        + emb["position"][None, :t, :]
+        + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    )
+    x = _layer_norm(x.astype(cfg.dtype), emb["ln"], cfg.layer_norm_eps)
+
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
+    x = _dropout(x, cfg.hidden_dropout, dropout_rng, deterministic)
+
+    # Additive attention bias in fp32: 0 where attended, -1e30 where masked.
+    mask_bias = jnp.where(attention_mask[:, None, None, :] != 0, 0.0, -1e30).astype(jnp.float32)
+
+    layer_rngs = jax.random.split(dropout_rng, cfg.num_layers * 3).reshape(cfg.num_layers, 3, -1)
+
+    def layer_body(x, scanned):
+        layer_p, rngs = scanned
+        attn = _attention(x, mask_bias, layer_p, cfg, rngs[0], deterministic)
+        attn = _dropout(attn, cfg.hidden_dropout, rngs[1], deterministic)
+        x = _layer_norm(x + attn, layer_p["attn_ln"], cfg.layer_norm_eps)
+        mlp = _dense(x, layer_p["mlp_in"])
+        mlp = jax.nn.gelu(mlp.astype(jnp.float32), approximate=False).astype(x.dtype)
+        mlp = _dense(mlp, layer_p["mlp_out"])
+        mlp = _dropout(mlp, cfg.hidden_dropout, rngs[2], deterministic)
+        x = _layer_norm(x + mlp, layer_p["mlp_ln"], cfg.layer_norm_eps)
+        return x, None
+
+    x, _ = jax.lax.scan(layer_body, x, (params["layers"], layer_rngs))
+
+    pooled = jnp.tanh(_dense(x[:, 0, :], params["pooler"]).astype(jnp.float32)).astype(cfg.dtype)
+    return x, pooled
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
