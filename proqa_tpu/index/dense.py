@@ -1,0 +1,123 @@
+"""DenseIndex: the HBM-resident, optionally ICI-sharded corpus embedding
+matrix with exact/approx MIPS search.
+
+Replaces FAISS IndexFlatIP/IndexIVFFlat usage (reference
+eval_retrieval.py:102-104, online_sampler.py:75-79) with device-resident
+search. On-disk format stays reference-compatible: a float `.npy` embedding
+matrix plus `idx_id.json` (IdMap), so indexes are interchangeable with the
+reference pipeline's artifacts.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proqa_tpu.index.idmap import IdMap
+from proqa_tpu.ops.mips import mips_topk, pad_queries
+from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_rows
+from proqa_tpu.parallel.search import sharded_mips_topk
+
+
+@dataclass
+class DenseIndex:
+    embeddings: jax.Array          # [N_padded, D], bf16 or f32, device-resident
+    n: int                         # true row count (<= N_padded)
+    id_map: IdMap | None = None
+    mesh: object | None = None     # jax.sharding.Mesh when sharded
+
+    @property
+    def dim(self) -> int:
+        return self.embeddings.shape[1]
+
+    def __len__(self) -> int:
+        return self.n
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def from_embeddings(
+        cls,
+        embeddings,
+        id_map: IdMap | None = None,
+        *,
+        mesh=None,
+        dtype=jnp.bfloat16,
+        pad_multiple: int = 1024,
+    ) -> "DenseIndex":
+        """Build from a host [N, D] array. Rows are padded to pad_multiple
+        (and the mesh size) so search tiles and shards divide evenly; padded
+        rows are zero vectors and can never be returned (scores masked)."""
+        n = embeddings.shape[0]
+        mult = pad_multiple
+        if mesh is not None:
+            mult = np.lcm(mult, int(np.prod(list(mesh.shape.values()))))
+        n_pad = (-n) % mult
+        if n_pad:
+            embeddings = np.concatenate(
+                [np.asarray(embeddings), np.zeros((n_pad, embeddings.shape[1]), embeddings.dtype)]
+            )
+        arr = jnp.asarray(embeddings, dtype=dtype)
+        if mesh is not None:
+            arr = shard_rows(mesh, arr)
+        else:
+            arr = jax.device_put(arr)
+        return cls(embeddings=arr, n=n, id_map=id_map, mesh=mesh)
+
+    # ---------------- search ----------------
+
+    def search(self, queries, k: int, *, exact: bool = True, q_pad: int = 256, **kw):
+        """Top-k rows by inner product. queries: [Q, D] host or device array.
+        Returns (values [Q, k] f32 np, indices [Q, k] i32 np), padded rows and
+        padded queries excluded."""
+        q = jnp.asarray(queries, dtype=self.embeddings.dtype)
+        q, q_n = pad_queries(q, q_pad)
+        k_eff = min(k, self.n)
+        if self.mesh is not None:
+            vals, idx = sharded_mips_topk(q, self.embeddings, k_eff, self.mesh, exact=exact, **kw)
+        else:
+            vals, idx = mips_topk(q, self.embeddings, k_eff, exact=exact, **kw)
+        vals = np.asarray(vals[:q_n])
+        idx = np.asarray(idx[:q_n])
+        if k_eff < k:  # degenerate tiny-corpus case
+            vals = np.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, k - k_eff)), constant_values=0)
+        return vals, idx
+
+    def search_ids(self, queries, k: int, **kw):
+        """Search returning document ids via the IdMap (reference
+        convert_idx2id, eval_retrieval.py:68-76)."""
+        assert self.id_map is not None, "index has no id map"
+        vals, idx = self.search(queries, k, **kw)
+        ids = [self.id_map.rows_to_ids(row) for row in idx]
+        return vals, idx, ids
+
+    def take(self, rows) -> np.ndarray:
+        """Gather embedding rows (e.g. para_embed for the QA rank head)."""
+        return np.asarray(jnp.take(self.embeddings, jnp.asarray(rows), axis=0), np.float32)
+
+    # ---------------- persistence (reference-compatible) ----------------
+
+    def save(self, path: str) -> None:
+        """Writes `<path>/embeddings.npy` (f32, unpadded) + `<path>/idx_id.json`."""
+        os.makedirs(path, exist_ok=True)
+        host = np.asarray(self.embeddings[: self.n], dtype=np.float32)
+        np.save(os.path.join(path, "embeddings.npy"), host)
+        if self.id_map is not None:
+            self.id_map.save(os.path.join(path, "idx_id.json"))
+
+    @classmethod
+    def load(cls, path: str, *, mesh=None, dtype=jnp.bfloat16) -> "DenseIndex":
+        """Loads either our layout or bare reference artifacts: `path` may be
+        a directory (embeddings.npy [+ idx_id.json]) or a .npy file."""
+        if os.path.isdir(path):
+            emb_path = os.path.join(path, "embeddings.npy")
+            map_path = os.path.join(path, "idx_id.json")
+            id_map = IdMap.load(map_path) if os.path.exists(map_path) else None
+        else:
+            emb_path, id_map = path, None
+        emb = np.load(emb_path)
+        return cls.from_embeddings(emb, id_map, mesh=mesh, dtype=dtype)

@@ -1,0 +1,41 @@
+"""Index-row <-> document-id mapping.
+
+Equivalent of the reference's `idx_id.json` artifact
+(/root/reference/retrieval/gen_index_id_map.py:1-9, consumed at
+eval_retrieval.py:68-76 and online_sampler.py:86,120): dense index row i maps
+to the sqlite doc id of the paragraph encoded into that row.
+"""
+from __future__ import annotations
+
+import json
+from typing import Iterable, Sequence
+
+
+class IdMap:
+    def __init__(self, ids: Sequence[str]):
+        self._ids = list(ids)
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def __getitem__(self, row: int) -> str:
+        return self._ids[row]
+
+    def rows_to_ids(self, rows: Iterable[int]) -> list[str]:
+        return [self._ids[int(r)] for r in rows]
+
+    @classmethod
+    def from_doc_ids(cls, doc_ids: Iterable[str]) -> "IdMap":
+        return cls(list(doc_ids))
+
+    # -- reference-compatible artifact: {"0": id0, "1": id1, ...} --
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({str(i): d for i, d in enumerate(self._ids)}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "IdMap":
+        with open(path) as f:
+            raw = json.load(f)
+        ids = [raw[str(i)] for i in range(len(raw))]
+        return cls(ids)

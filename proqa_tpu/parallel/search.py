@@ -1,0 +1,80 @@
+"""Corpus-sharded MIPS: each chip searches its HBM shard, candidates merge
+over ICI.
+
+Scaling design (SURVEY.md §5.7-5.8): the corpus embedding matrix [N, D] is
+row-sharded across the mesh; every chip runs the local exact block-max search
+(ops/mips.py) over its [N/n, D] shard, then the tiny [Q, k] candidate lists
+are all-gathered over ICI and reduced to the global top-k. Communication is
+O(Q * k * n_devices) — negligible next to the local scoring.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from proqa_tpu.ops.mips import mips_topk
+from proqa_tpu.parallel.mesh import DATA_AXIS
+
+
+def sharded_mips_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    exact: bool = True,
+    **search_kw,
+):
+    """Global top-k over a row-sharded corpus.
+
+    queries: [Q, D] (replicated); corpus: [N, D] sharded P('data', None).
+    Returns replicated (values [Q, k], indices [Q, k]) with global row ids.
+    N must divide evenly by the mesh size (pad the corpus at build time).
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    n = corpus.shape[0]
+    assert n % n_dev == 0, f"corpus rows {n} not divisible by mesh size {n_dev}"
+    local_n = n // n_dev
+
+    def local_search(q, c_local):
+        vals, idx = mips_topk(q, c_local, k, exact=exact, **search_kw)
+        offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * local_n
+        idx = idx + offset
+        # [n_dev, Q, k] on every chip
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS)
+        all_idx = jax.lax.all_gather(idx, DATA_AXIS)
+        q_n = q.shape[0]
+        cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(q_n, n_dev * k)
+        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, n_dev * k)
+        mv, sel = jax.lax.top_k(cat_vals, k)
+        mi = jnp.take_along_axis(cat_idx, sel, axis=1)
+        return mv, mi
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, corpus)
+
+
+def sharded_matvec_stats(corpus: jax.Array, mesh: Mesh):
+    """Cheap sanity op: per-shard row-count and norm sum (debug/telemetry)."""
+
+    def local(c):
+        return (
+            jax.lax.psum(jnp.asarray(c.shape[0], jnp.int32), DATA_AXIS),
+            jax.lax.psum(jnp.sum(jnp.square(c.astype(jnp.float32))), DATA_AXIS),
+        )
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(DATA_AXIS, None),), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(corpus)

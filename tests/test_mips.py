@@ -1,0 +1,89 @@
+"""MIPS top-k correctness: exact block-max path must match the naive
+reference bit-for-bit on the returned index sets; approx path must reach its
+recall target. Property-tested per SURVEY.md §4."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from proqa_tpu.ops.mips import (
+    mips_topk,
+    mips_topk_blockmax,
+    mips_topk_chunked_approx,
+    mips_topk_reference,
+)
+
+
+def _data(n, q, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    # distinct scores with overwhelming probability -> unique top-k sets
+    corpus = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    return queries, corpus
+
+
+@pytest.mark.parametrize("n,k,block,kb", [
+    (4096, 13, 64, 16),
+    (4096, 64, 64, 64),
+    (5000, 80, 128, 80),   # non-multiple N exercises padding
+    (2048, 100, 256, 100),
+])
+def test_blockmax_exact(n, k, block, kb):
+    queries, corpus = _data(n, 8)
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    bv, bi = mips_topk_blockmax(queries, corpus, k, block=block, kb=kb, q_chunk=8)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(rv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
+
+
+def test_blockmax_adversarial_sorted_corpus():
+    """All the best rows packed into one block: phase-2 must dig k deep."""
+    q, d, n, k = 4, 8, 2048, 32
+    rng = np.random.default_rng(1)
+    direction = rng.standard_normal((d,))
+    direction /= np.linalg.norm(direction)
+    mags = np.sort(rng.uniform(0.1, 10.0, size=n))[::-1]
+    corpus = np.outer(mags, direction) + 1e-3 * rng.standard_normal((n, d))
+    queries = np.tile(direction, (q, 1)) + 1e-3 * rng.standard_normal((q, d))
+    corpus, queries = jnp.asarray(corpus, jnp.float32), jnp.asarray(queries, jnp.float32)
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    bv, bi = mips_topk_blockmax(queries, corpus, k, block=64, kb=32, q_chunk=4)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
+
+
+def test_blockmax_query_chunking():
+    queries, corpus = _data(3000, 32)
+    rv, ri = mips_topk_reference(queries, corpus, 10)
+    bv, bi = mips_topk_blockmax(queries, corpus, 10, block=128, kb=16, q_chunk=8)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
+
+
+def test_chunked_approx_recall():
+    queries, corpus = _data(1 << 15, 16, seed=2)
+    k = 512
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    av, ai = mips_topk_chunked_approx(queries, corpus, k, chunk=1 << 13, recall_target=0.95)
+    ri, ai = np.asarray(ri), np.asarray(ai)
+    recalls = [len(set(ri[i]) & set(ai[i])) / k for i in range(ri.shape[0])]
+    assert np.mean(recalls) >= 0.95, np.mean(recalls)
+    # values must be genuine scores, descending
+    av = np.asarray(av)
+    assert (np.diff(av, axis=1) <= 1e-6).all()
+
+
+def test_dispatch_small_n():
+    queries, corpus = _data(1000, 4)
+    v, i = mips_topk(queries, corpus, 5)
+    rv, ri = mips_topk_reference(queries, corpus, 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_bf16_corpus():
+    """Search works with a bf16 HBM-resident corpus (the production layout)."""
+    rng = np.random.default_rng(3)
+    corpus = jnp.asarray(rng.standard_normal((4096, 32)), jnp.bfloat16)
+    queries = jnp.asarray(rng.standard_normal((8, 32)), jnp.bfloat16)
+    bv, bi = mips_topk_blockmax(queries, corpus, 16, block=64, kb=16, q_chunk=8)
+    rv, ri = mips_topk_reference(queries, corpus, 16)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
