@@ -1,0 +1,177 @@
+"""Training stack: optimizer decay masks, full-state checkpoint resume, and a
+tiny end-to-end contrastive training run on the 8-device mesh that must
+actually learn."""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from proqa_tpu.models.bert import BertConfig
+from proqa_tpu.models.retriever import init_retriever_params
+from proqa_tpu.parallel import make_mesh
+from proqa_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from proqa_tpu.train.optim import (
+    TrainState,
+    apply_gradients,
+    init_train_state,
+    make_optimizer,
+    _no_decay_mask,
+)
+from proqa_tpu.train.retriever_trainer import (
+    RetrieverTrainer,
+    RetrieverTrainerConfig,
+    in_batch_loss,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return BertConfig.tiny(dtype=jnp.float32)
+
+
+def test_no_decay_mask(cfg):
+    params = init_retriever_params(jax.random.PRNGKey(0), cfg, embed_dim=8)
+    mask = _no_decay_mask(params)
+    assert mask["proj_q"]["kernel"] is True
+    assert mask["proj_q"]["bias"] is False
+    assert mask["bert_q"]["layers"]["attn_ln"]["scale"] is False
+    assert mask["bert_q"]["layers"]["q"]["kernel"] is True
+    assert mask["bert_q"]["embeddings"]["ln"]["bias"] is False
+
+
+def test_frozen_mask_zeroes_updates(cfg):
+    params = {"a": jnp.ones((4,)), "b": jnp.ones((4,))}
+    frozen = {"a": False, "b": True}
+    tx = make_optimizer(0.1, frozen_mask=frozen)
+    state = init_train_state(params, tx)
+    grads = {"a": jnp.ones((4,)), "b": jnp.ones((4,))}
+    new = apply_gradients(state, grads, tx)
+    assert not np.allclose(np.asarray(new.params["a"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(new.params["b"]), 1.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, cfg):
+    params = init_retriever_params(jax.random.PRNGKey(1), cfg, embed_dim=8)
+    tx = make_optimizer(1e-3)
+    state = init_train_state(params, tx)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = apply_gradients(state, grads, tx)
+
+    path = str(tmp_path / "checkpoint_1.msgpack")
+    save_checkpoint(path, state)
+    fresh = init_train_state(init_retriever_params(jax.random.PRNGKey(2), cfg, embed_dim=8), tx)
+    restored = load_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, state.params,
+    )
+    # optimizer moments restored too (true resume, unlike the reference)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.opt_state, state.opt_state,
+    )
+    assert latest_checkpoint(str(tmp_path)) == path
+
+
+def test_in_batch_loss_perfect_alignment():
+    d = jnp.eye(4, 8)
+    loss, acc = in_batch_loss({"q": d * 10, "c": d * 10})
+    assert float(acc) == 1.0
+    assert float(loss) < 0.01
+
+
+def _toy_batches(cfg, n_batches, bsz, seed=0):
+    """Paired (q, c) token sequences where matching pairs share a token."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        pair_tok = rng.integers(5, cfg.vocab_size, size=bsz)
+        q = np.stack([[2, t, 3, 0] for t in pair_tok]).astype(np.int32)
+        c = np.stack([[2, t, rng.integers(5, cfg.vocab_size), 3] for t in pair_tok]).astype(np.int32)
+        batches.append({
+            "input_ids_q": q, "input_mask_q": (q != 0).astype(np.int32),
+            "input_ids_c": c, "input_mask_c": (c != 0).astype(np.int32),
+        })
+    return batches
+
+
+def test_training_learns_and_shards(tmp_path, eight_devices):
+    # a tiny random-init BERT needs a larger init scale to have any
+    # input-dependence to bootstrap from (production starts from pretrained
+    # weights); dropout off for fast overfitting
+    lcfg = BertConfig.tiny(dtype=jnp.float32, initializer_range=0.1,
+                           hidden_dropout=0.0, attention_dropout=0.0)
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=1e-2, eval_period=10_000, save_checkpoints_steps=10_000,
+        output_dir=str(tmp_path), seed=0,
+    )
+    trainer = RetrieverTrainer(lcfg, tcfg, mesh=mesh)
+    batch = _toy_batches(lcfg, 1, 16)[0]
+
+    losses = []
+    for _ in range(120):
+        trainer.rng, r = jax.random.split(trainer.rng)
+        trainer.state, m = trainer._train_step(trainer.state, trainer._device_batch(batch), r)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 1.0, (losses[0], losses[-1])
+    assert int(trainer.state.step) == 120
+
+    b = dict(batch)
+    b["__rows__"] = 16
+    acc = trainer.evaluate(iter([b]))
+    assert acc > 0.8
+
+
+def test_grad_accumulation_equivalence(cfg):
+    """accum_steps=2 over a split batch == mean of two separate microbatch
+    grads applied once."""
+    params = init_retriever_params(jax.random.PRNGKey(3), cfg, embed_dim=8)
+    tx = make_optimizer(1e-2)
+    state = init_train_state(params, tx)
+    batch = _toy_batches(cfg, 1, 8)[0]
+    rng = jax.random.PRNGKey(42)
+
+    step1 = make_train_step(cfg, tx, accum_steps=1)
+    step2 = make_train_step(cfg, tx, accum_steps=2)
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, m1 = jax.jit(step1)(state, dev, rng)
+    s2, m2 = jax.jit(step2)(state, dev, rng)
+    # losses agree in expectation scale (not exactly: different negatives and
+    # dropout rngs per microbatch) — but both must be finite and states move
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)), s2.params, state.params
+    )
+    assert any(jax.tree.leaves(moved))
+
+
+def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=1e-3, eval_period=2, save_checkpoints_steps=4,
+        num_train_epochs=2, wait_step=100, output_dir=str(tmp_path / "run"), seed=1,
+    )
+    trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    train_b = _toy_batches(cfg, 6, 16)
+    eval_b = _toy_batches(cfg, 2, 16, seed=7)
+    best = trainer.train(lambda epoch: iter(train_b), lambda: iter(eval_b))
+    assert 0.0 <= best <= 1.0
+    import os
+    assert os.path.exists(tmp_path / "run" / "checkpoint_last.msgpack")
+    assert os.path.exists(tmp_path / "run" / "checkpoint_best.msgpack")
+    assert os.path.exists(tmp_path / "run" / "checkpoint_4.msgpack")
+    # metrics stream written
+    lines = open(tmp_path / "run" / "metrics.jsonl").read().strip().splitlines()
+    tags = {json.loads(l)["tag"] for l in lines}
+    assert {"train_loss", "dev_acc"} <= tags
+
+    # resume restores step
+    trainer2 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    trainer2.resume(str(tmp_path / "run" / "checkpoint_last.msgpack"))
+    assert int(trainer2.state.step) == 12
