@@ -77,9 +77,11 @@ class DenseIndex:
         q, q_n = pad_queries(q, q_pad)
         k_eff = min(k, self.n)
         if self.mesh is not None:
-            vals, idx = sharded_mips_topk(q, self.embeddings, k_eff, self.mesh, exact=exact, **kw)
+            vals, idx = sharded_mips_topk(
+                q, self.embeddings, k_eff, self.mesh, exact=exact, n_valid=self.n, **kw
+            )
         else:
-            vals, idx = mips_topk(q, self.embeddings, k_eff, exact=exact, **kw)
+            vals, idx = mips_topk(q, self.embeddings, k_eff, exact=exact, n_valid=self.n, **kw)
         vals = np.asarray(vals[:q_n])
         idx = np.asarray(idx[:q_n])
         if k_eff < k:  # degenerate tiny-corpus case

@@ -64,14 +64,20 @@ def _mask_padding(scores: jax.Array, n_valid: int) -> jax.Array:
     return jnp.where(valid[None, :], scores, NEG_INF)
 
 
-def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int):
-    """Naive full-score top-k. Ground truth for tests; fine for small N."""
+def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int, *, n_valid: int | None = None):
+    """Naive full-score top-k. Ground truth for tests; fine for small N.
+    n_valid: true row count when the corpus is pre-padded (padded rows are
+    never returned)."""
     scores = _scores(queries, corpus)
+    if n_valid is not None:
+        scores = _mask_padding(scores, n_valid)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "kb", "q_chunk", "exact_blocks"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block", "kb", "q_chunk", "exact_blocks", "n_valid")
+)
 def mips_topk_blockmax(
     queries: jax.Array,
     corpus: jax.Array,
@@ -81,6 +87,7 @@ def mips_topk_blockmax(
     kb: int | None = None,
     q_chunk: int = 256,
     exact_blocks: bool = True,
+    n_valid: int | None = None,
 ):
     """Exact two-phase block-max MIPS top-k (the default search path).
 
@@ -92,7 +99,9 @@ def mips_topk_blockmax(
                   recall ~0.998 at the block level).
     """
     q, d = queries.shape
-    corpus, n_valid = _pad_rows(corpus, block)
+    corpus, n_unpadded = _pad_rows(corpus, block)
+    if n_valid is None:
+        n_valid = n_unpadded
     n = corpus.shape[0]
     nb = n // block
     if kb is None:
@@ -137,7 +146,7 @@ def mips_topk_blockmax(
     return vals.reshape(q, k), idx.reshape(q, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "recall_target"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "recall_target", "n_valid"))
 def mips_topk_chunked_approx(
     queries: jax.Array,
     corpus: jax.Array,
@@ -145,6 +154,7 @@ def mips_topk_chunked_approx(
     *,
     chunk: int = 1 << 19,
     recall_target: float = 0.99,
+    n_valid: int | None = None,
 ):
     """Streaming approximate top-k for large k (e.g. the QA trainer's top-5000
     candidate retrieval, reference qa/online_sampler.py:113 — which itself uses
@@ -154,7 +164,9 @@ def mips_topk_chunked_approx(
     Memory: O(Q * (chunk + k)); never materializes [Q, N].
     """
     q, d = queries.shape
-    corpus, n_valid = _pad_rows(corpus, chunk)
+    corpus, n_unpadded = _pad_rows(corpus, chunk)
+    if n_valid is None:
+        n_valid = n_unpadded
     n = corpus.shape[0]
     nchunk = n // chunk
     corpus_chunks = corpus.reshape(nchunk, chunk, d)
@@ -181,19 +193,22 @@ def mips_topk_chunked_approx(
     return vals, idx
 
 
-def mips_topk(queries: jax.Array, corpus: jax.Array, k: int, *, exact: bool = True, **kw):
+def mips_topk(
+    queries: jax.Array, corpus: jax.Array, k: int, *,
+    exact: bool = True, n_valid: int | None = None, **kw,
+):
     """Dispatch to the right search strategy for (k, N).
 
     exact top-k is supported up to k<=512 via the block-max path; larger k
     (QA top-5000) uses the streaming approx path (recall >= ~0.99, cf. the
-    reference's IVF nprobe=20).
+    reference's IVF nprobe=20). n_valid masks pre-padded corpus rows.
     """
     n = corpus.shape[0]
     if n <= 1 << 16:
-        return mips_topk_reference(queries, corpus, min(k, n))
+        return mips_topk_reference(queries, corpus, min(k, n), n_valid=n_valid)
     if exact and k <= 512:
-        return mips_topk_blockmax(queries, corpus, k, **kw)
-    return mips_topk_chunked_approx(queries, corpus, k, **kw)
+        return mips_topk_blockmax(queries, corpus, k, n_valid=n_valid, **kw)
+    return mips_topk_chunked_approx(queries, corpus, k, n_valid=n_valid, **kw)
 
 
 def pad_queries(queries: jax.Array, multiple: int) -> tuple[jax.Array, int]:

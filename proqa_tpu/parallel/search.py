@@ -27,13 +27,15 @@ def sharded_mips_topk(
     mesh: Mesh,
     *,
     exact: bool = True,
+    n_valid: int | None = None,
     **search_kw,
 ):
     """Global top-k over a row-sharded corpus.
 
     queries: [Q, D] (replicated); corpus: [N, D] sharded P('data', None).
     Returns replicated (values [Q, k], indices [Q, k]) with global row ids.
-    N must divide evenly by the mesh size (pad the corpus at build time).
+    N must divide evenly by the mesh size (pad the corpus at build time);
+    n_valid masks trailing padded rows by their GLOBAL index.
     """
     n_dev = mesh.shape[DATA_AXIS]
     n = corpus.shape[0]
@@ -44,6 +46,8 @@ def sharded_mips_topk(
         vals, idx = mips_topk(q, c_local, k, exact=exact, **search_kw)
         offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * local_n
         idx = idx + offset
+        if n_valid is not None and n_valid < n:
+            vals = jnp.where(idx < n_valid, vals, jnp.float32(-3.0e38))
         # [n_dev, Q, k] on every chip
         all_vals = jax.lax.all_gather(vals, DATA_AXIS)
         all_idx = jax.lax.all_gather(idx, DATA_AXIS)

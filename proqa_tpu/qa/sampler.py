@@ -1,0 +1,290 @@
+"""Batched online retrieval sampler for dense QA finetuning.
+
+Equivalent of the reference OnlineSampler (/root/reference/qa/online_sampler.py:49-412)
+restructured for TPU throughput. The reference round-trips GPU -> FAISS ->
+sqlite -> CPU tokenization per *single question* (SURVEY.md §3.4 calls this
+the main inefficiency). Here:
+
+1. questions are encoded in batches on-device (one jitted call),
+2. ONE device-resident MIPS search serves the whole question batch
+   (top-M candidates, M=5000 like the reference's IVF search),
+3. candidate embeddings for the rank head are gathered on-device,
+4. only the top-k paragraph *texts* are fetched from sqlite and span-matched
+   on the host (the unavoidable host work), into static-shape tensors,
+5. questions whose top-M contain no gold paragraph are dropped and counted
+   (reference yields {} and skips — :263-264), and the valid ones are
+   re-packed into full [B, k, L] batches.
+
+All output arrays have static shapes: L (max_length), S (max span slots),
+M (candidate count), so the QA train step compiles exactly once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import random
+from typing import Callable, Iterator
+
+import numpy as np
+
+from proqa_tpu.data.collate import pad_to
+from proqa_tpu.data.docdb import DocDB
+from proqa_tpu.index.dense import DenseIndex
+from proqa_tpu.qa.prepro import hash_question
+from proqa_tpu.text.matching import match_answer_span, normalize
+from proqa_tpu.text.simple import SimpleTokenizer
+from proqa_tpu.text.squad import char_spans_of, find_answer_spans, prepare_context
+
+
+@dataclasses.dataclass
+class OnlineSamplerConfig:
+    max_query_length: int = 30
+    max_length: int = 512
+    candidates: int = 5000       # M: rank-head candidate pool (reference top-5000)
+    max_spans: int = 30          # S: span target slots per paragraph
+    regex: bool = False          # CuratedTrec answers are regexes
+    question_batch: int = 8      # questions encoded/searched per device call
+    exact_search: bool = False   # exact MIPS (eval) vs approx (train, M=5000)
+
+
+class OnlineSampler:
+    def __init__(
+        self,
+        raw_data: str | list,
+        tokenizer,
+        db: DocDB,
+        index: DenseIndex,
+        cfg: OnlineSamplerConfig,
+        matched_para_path: str = "",
+    ):
+        if isinstance(raw_data, str):
+            with open(raw_data) as f:
+                self.qa_data = [json.loads(l) for l in f if l.strip()]
+        else:
+            self.qa_data = list(raw_data)
+        self.tokenizer = tokenizer
+        self.db = db
+        self.index = index
+        self.cfg = cfg
+        self.simple = SimpleTokenizer()
+        self.failed_retrieval = 0
+
+        self.qid2goldparas: dict | None = None
+        if matched_para_path:
+            with open(matched_para_path) as f:
+                annotated = [json.loads(l) for l in f if l.strip()]
+            self.qid2goldparas = {
+                hash_question(item["question"]): item["matched_paras"] for item in annotated
+            }
+
+    def __len__(self) -> int:
+        return len(self.qa_data)
+
+    def shuffle(self, seed: int | None = None):
+        random.Random(seed).shuffle(self.qa_data)
+
+    # ------------------------------------------------------------------
+    # retrieval: encode + search a batch of questions at once
+    # ------------------------------------------------------------------
+
+    def _encode_questions(self, questions: list[str], query_encoder: Callable) -> tuple[np.ndarray, list[list[int]]]:
+        cfgq = self.cfg.max_query_length
+        q_ids = [self.tokenizer.encode(q, max_length=cfgq) for q in questions]
+        ids = pad_to(q_ids, cfgq)
+        mask = (ids != 0).astype(np.int32)
+        embeds = np.asarray(query_encoder(ids, mask), np.float32)
+        return embeds, q_ids
+
+    def _retrieve(self, questions: list[str], query_encoder: Callable):
+        embeds, q_ids = self._encode_questions(questions, query_encoder)
+        _, rows = self.index.search(
+            embeds, self.cfg.candidates, exact=self.cfg.exact_search,
+            q_pad=min(self.cfg.question_batch, 256),
+        )
+        para_embeds = self.index.take(rows.reshape(-1)).reshape(
+            rows.shape[0], rows.shape[1], -1
+        )
+        return q_ids, rows, para_embeds
+
+    # ------------------------------------------------------------------
+    # per-question example construction (host side)
+    # ------------------------------------------------------------------
+
+    def _build_train_example(self, qa: dict, q_token_ids: list[int], cand_rows, para_embed):
+        """Returns dict of per-question tensors, or None if retrieval failed
+        (no gold in top-M and no span-covered paragraph in top-k)."""
+        c = self.cfg
+        qid = hash_question(qa["question"])
+        gold_paras = self.qid2goldparas.get(qid, {}) if self.qid2goldparas else {}
+        cand_ids = self.index.id_map.rows_to_ids(cand_rows)
+        top_labels = np.fromiter(
+            (1 if pid in gold_paras else 0 for pid in cand_ids), np.int32, len(cand_ids)
+        )
+        k = self._k
+        per_para = []
+        any_covered = False
+        for pid in cand_ids[:k]:
+            text = self.db.get_doc_text(pid)
+            p = normalize(text) if text else ""
+            matched = match_answer_span(
+                p, qa["answer"], self.simple, match="regex" if c.regex else "string"
+            ) if p else []
+            ex = self._tensorize_paragraph(q_token_ids, p, matched)
+            any_covered = any_covered or ex["covered"]
+            per_para.append(ex)
+
+        if top_labels.sum() == 0 and not any_covered:
+            return None
+
+        return {
+            "qid": qid,
+            "question": qa["question"],
+            "answers": qa["answer"],
+            "per_para": per_para,
+            "top_labels": top_labels,
+            "para_embed": para_embed,  # full M candidates for the rank head
+            "q_token_ids": q_token_ids,
+        }
+
+    def _tensorize_paragraph(self, q_token_ids: list[int], p: str, matched: list[str]):
+        """Build [CLS] q [SEP] p [SEP] tensors plus span targets for one
+        paragraph (reference online_sampler.py:132-259 semantics: spans
+        clipped to the truncated paragraph, covered recomputed after clip)."""
+        c = self.cfg
+        para_offset = len(q_token_ids)          # [CLS] q [SEP]
+        max_p_toks = c.max_length - para_offset - 1
+
+        doc_tokens, c2w, o2t, t2o, pieces = prepare_context(p, self.tokenizer)
+        p_ids = self.tokenizer.convert_tokens_to_ids(pieces[:max_p_toks])
+        plen = len(p_ids)
+
+        input_ids = q_token_ids + p_ids + [self.tokenizer.sep_id]
+        segment_ids = [0] * para_offset + [1] * (plen + 1)
+        paragraph_mask = [0] * para_offset + [1] * plen + [0]
+
+        starts, ends = [], []
+        covered = 0
+        for m in matched:
+            for span in find_answer_spans(
+                m, char_spans_of(p, m), c2w, doc_tokens, pieces, o2t, self.tokenizer
+            ):
+                s, e = span
+                if s >= plen:
+                    continue
+                covered = 1
+                starts.append(min(s, plen - 1) + para_offset)
+                ends.append(min(e, plen - 1) + para_offset)
+        starts, ends = starts[: c.max_spans], ends[: c.max_spans]
+        if not starts:
+            starts, ends = [-1], [-1]
+
+        return {
+            "input_ids": input_ids,
+            "segment_ids": segment_ids,
+            "paragraph_mask": paragraph_mask,
+            "starts": starts,
+            "ends": ends,
+            "covered": covered,
+            "doc_tokens": doc_tokens,
+            "wp_tokens": pieces,
+            "tok_to_orig_index": t2o,
+            "para_offset": para_offset,
+        }
+
+    # ------------------------------------------------------------------
+    # batching
+    # ------------------------------------------------------------------
+
+    def _collate_questions(self, examples: list[dict], with_targets: bool):
+        c = self.cfg
+        B, k, L = len(examples), self._k, c.max_length
+        def stack_para(field, pad_val=0, length=L, dtype=np.int32):
+            return np.stack([
+                pad_to([pp[field] for pp in ex["per_para"]], length, pad_val, dtype)
+                for ex in examples
+            ])
+
+        ids = stack_para("input_ids")
+        net = {
+            "input_ids": ids,
+            "input_mask": (ids != 0).astype(np.int32),
+            "segment_ids": stack_para("segment_ids"),
+            "paragraph_mask": stack_para("paragraph_mask"),
+            "input_ids_q": pad_to([ex["q_token_ids"] for ex in examples], c.max_query_length),
+            "para_embed": np.stack([ex["para_embed"] for ex in examples]),
+        }
+        net["input_mask_q"] = (net["input_ids_q"] != 0).astype(np.int32)
+        if with_targets:
+            net["start_positions"] = stack_para("starts", -1, c.max_spans)
+            net["end_positions"] = stack_para("ends", -1, c.max_spans)
+            net["para_targets"] = np.stack(
+                [[pp["covered"] for pp in ex["per_para"]] for ex in examples]
+            ).astype(np.int32)
+            net["top5000_labels"] = np.stack([ex["top_labels"] for ex in examples])
+        meta = {
+            "id": [ex["qid"] for ex in examples],
+            "q": [ex["question"] for ex in examples],
+            "true_answers": [ex["answers"] for ex in examples],
+            "para_offset": [[pp["para_offset"] for pp in ex["per_para"]] for ex in examples],
+            "doc_tokens": [[pp["doc_tokens"] for pp in ex["per_para"]] for ex in examples],
+            "wp_tokens": [[pp["wp_tokens"] for pp in ex["per_para"]] for ex in examples],
+            "tok_to_orig_index": [[pp["tok_to_orig_index"] for pp in ex["per_para"]] for ex in examples],
+        }
+        return {"net_input": net, **meta}
+
+    def load(self, query_encoder: Callable, k: int = 5, questions_per_batch: int | None = None) -> Iterator[dict]:
+        """Training batches: [B, k, L] reader inputs + rank targets.
+        query_encoder(ids [n, Tq], mask) -> [n, D] (jitted closure over the
+        CURRENT retriever params, so retrieval follows training)."""
+        self._k = k
+        B = questions_per_batch or self.cfg.question_batch
+        self.failed_retrieval = 0
+        buffer: list[dict] = []
+        for group_start in range(0, len(self.qa_data), B):
+            group = self.qa_data[group_start : group_start + B]
+            questions = [qa["question"] for qa in group]
+            q_ids, rows, para_embeds = self._retrieve(questions, query_encoder)
+            for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
+                ex = self._build_train_example(qa, qi, rr, pe)
+                if ex is None:
+                    self.failed_retrieval += 1
+                    continue
+                buffer.append(ex)
+                if len(buffer) == B:
+                    yield self._collate_questions(buffer, with_targets=True)
+                    buffer = []
+        if buffer:
+            yield self._collate_questions(buffer, with_targets=True)
+
+    def eval_load(self, query_encoder: Callable, k: int = 5, questions_per_batch: int | None = None) -> Iterator[dict]:
+        """Eval batches: top-k paragraphs per question, no targets, plus the
+        offset maps needed to project predictions back to text."""
+        self._k = k
+        B = questions_per_batch or self.cfg.question_batch
+        cand = self.cfg.candidates
+        self.cfg = dataclasses.replace(self.cfg, candidates=k)
+        try:
+            for group_start in range(0, len(self.qa_data), B):
+                group = self.qa_data[group_start : group_start + B]
+                questions = [qa["question"] for qa in group]
+                q_ids, rows, para_embeds = self._retrieve(questions, query_encoder)
+                examples = []
+                for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
+                    cand_ids = self.index.id_map.rows_to_ids(rr)
+                    per_para = []
+                    for pid in cand_ids[:k]:
+                        text = self.db.get_doc_text(pid)
+                        p = normalize(text) if text else ""
+                        per_para.append(self._tensorize_paragraph(qi, p, matched=[]))
+                    examples.append({
+                        "qid": hash_question(qa["question"]),
+                        "question": qa["question"],
+                        "answers": qa["answer"],
+                        "per_para": per_para,
+                        "top_labels": np.zeros((k,), np.int32),
+                        "para_embed": pe,
+                        "q_token_ids": qi,
+                    })
+                yield self._collate_questions(examples, with_targets=False)
+        finally:
+            self.cfg = dataclasses.replace(self.cfg, candidates=cand)

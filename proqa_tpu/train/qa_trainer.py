@@ -1,0 +1,273 @@
+"""Dense QA finetuning: jitted joint train step, α-sweep EM evaluation, and
+the outer loop with online retrieval.
+
+Equivalent of /root/reference/qa/train_retrieve_qa.py:170-401, restructured:
+the online sampler feeds static-shape [B, k, L] batches (B questions per step
+instead of the reference's 1), the loss zoo runs fused in one jit, span
+decoding happens on-device, and only text projection + the rank/span score
+sweep (reference :366-394) stay on the host.
+"""
+from __future__ import annotations
+
+import collections
+import dataclasses
+import functools
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from proqa_tpu.data.collate import batch_pad
+from proqa_tpu.models.bert import BertConfig
+from proqa_tpu.models.reader import (
+    QAConfig,
+    decode_spans,
+    init_qa_params,
+    qa_forward,
+    qa_frozen_mask,
+    qa_loss,
+)
+from proqa_tpu.models.retriever import encode_query
+from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from proqa_tpu.text.metrics import exact_match_score, metric_max_over_ground_truths, regex_match_score
+from proqa_tpu.text.squad import get_final_text, wordpieces_to_text
+from proqa_tpu.train import checkpoint as ckpt
+from proqa_tpu.train.optim import apply_gradients, init_train_state, make_optimizer
+from proqa_tpu.utils.logging import AverageMeter, MetricLogger, setup_logger
+
+ALPHA_GRID = (0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.5, 0.55, 0.6, 0.7, 0.8, 0.9, 1)
+
+Prediction = collections.namedtuple(
+    "Prediction", ["text", "rank_score", "span_score", "passage", "question"]
+)
+
+
+@dataclasses.dataclass
+class QATrainerConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.0
+    max_grad_norm: float = 5.0
+    adam_eps: float = 1e-8
+    num_train_epochs: int = 20
+    eval_period: int = -1          # -1: eval at epoch end only (reference default)
+    wait_step: int = 100
+    eval_k: int = 5
+    train_k: int = 5               # paragraphs read per question (ref batch size 5)
+    questions_per_batch: int = 4
+    fix_para_encoder: bool = True
+    freeze_retriever: bool = False
+    do_lower_case: bool = True
+    regex: bool = False
+    max_answer_len: int = 10
+    seed: int = 3
+    output_dir: str = "logs/qa"
+
+
+class QATrainer:
+    def __init__(
+        self,
+        bert_cfg: BertConfig,
+        qa_cfg: QAConfig,
+        tcfg: QATrainerConfig,
+        *,
+        mesh=None,
+        params=None,
+    ):
+        self.cfg = bert_cfg
+        self.qcfg = qa_cfg
+        self.tcfg = tcfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.shape[DATA_AXIS]
+        assert tcfg.questions_per_batch % n_dev == 0, (
+            f"questions_per_batch={tcfg.questions_per_batch} must divide over "
+            f"the {n_dev}-device data mesh"
+        )
+        self.logger = setup_logger("proqa.qa", f"{tcfg.output_dir}/log.txt")
+        self.metrics = MetricLogger(f"{tcfg.output_dir}/metrics.jsonl")
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+
+        if params is None:
+            self.rng, init_rng = jax.random.split(self.rng)
+            params = init_qa_params(init_rng, bert_cfg, qa_cfg)
+        else:
+            # the train step donates state buffers; never destroy caller arrays
+            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        frozen = qa_frozen_mask(
+            params,
+            freeze_c_encoder=tcfg.fix_para_encoder,
+            freeze_retriever=tcfg.freeze_retriever,
+        )
+        self.tx = make_optimizer(
+            tcfg.learning_rate,
+            weight_decay=tcfg.weight_decay,
+            max_grad_norm=tcfg.max_grad_norm,
+            adam_eps=tcfg.adam_eps,
+            frozen_mask=frozen,
+        )
+        self.state = init_train_state(params, self.tx)
+
+        replicated = NamedSharding(self.mesh, P())
+        batch_sharded = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        def train_step(state, batch, rng):
+            def loss_fn(p):
+                out = qa_forward(
+                    p, bert_cfg, qa_cfg, batch, deterministic=False, dropout_rng=rng
+                )
+                comp = qa_loss(out, batch, qa_cfg)
+                return comp["loss"], comp
+
+            (_, comp), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return apply_gradients(state, grads, self.tx), comp
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(replicated, batch_sharded, replicated),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+
+        def eval_step(params, batch):
+            out = qa_forward(params, bert_cfg, qa_cfg, batch, deterministic=True)
+            start, end, score = decode_spans(
+                out["start_logits"], out["end_logits"], tcfg.max_answer_len
+            )
+            rank = (
+                out["select_logits"] if qa_cfg.add_select
+                else out["rank_logits"][:, : start.shape[1]]
+            )
+            return {"start": start, "end": end, "span_score": score, "rank_score": rank}
+
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(replicated, batch_sharded),
+            out_shardings=replicated,
+        )
+
+        self._encode_query = jax.jit(
+            lambda p, ids, mask: encode_query(p, bert_cfg, ids, mask)
+        )
+
+    # -------------------- plumbing --------------------
+
+    def query_encoder(self) -> Callable:
+        """Encoder reading the LIVE retriever params at every call, so online
+        retrieval follows training (and donated state buffers are never
+        captured stale)."""
+        return lambda ids, mask: self._encode_query(
+            self.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask)
+        )
+
+    def save(self, name: str):
+        ckpt.save_checkpoint(f"{self.tcfg.output_dir}/{name}.msgpack", self.state)
+
+    def resume(self, path: str):
+        self.state = ckpt.load_checkpoint(path, self.state)
+
+    def _device_batch(self, net: dict):
+        return {k: jnp.asarray(v) for k, v in net.items()}
+
+    # -------------------- evaluation --------------------
+
+    def predict(self, sampler) -> float:
+        """Full EM eval with the rank/span linear-combination sweep."""
+        t = self.tcfg
+        qid2results: dict[str, list[Prediction]] = collections.defaultdict(list)
+        qid2ground: dict[str, list] = {}
+        B = sampler.cfg.question_batch
+
+        for batch in sampler.eval_load(self.query_encoder(), t.eval_k, B):
+            net, rows = batch_pad(batch["net_input"], B)
+            out = self._eval_step(self.state.params, self._device_batch(net))
+            start = np.asarray(out["start"])[:rows]
+            end = np.asarray(out["end"])[:rows]
+            span_score = np.asarray(out["span_score"])[:rows]
+            rank_score = np.asarray(out["rank_score"])[:rows]
+
+            for qi, qid in enumerate(batch["id"]):
+                qid2ground[qid] = batch["true_answers"][qi]
+                for pi in range(t.eval_k):
+                    off = batch["para_offset"][qi][pi]
+                    s = int(start[qi, pi]) - off
+                    e = int(end[qi, pi]) - off
+                    t2o = batch["tok_to_orig_index"][qi][pi]
+                    doc_tokens = batch["doc_tokens"][qi][pi]
+                    wp = batch["wp_tokens"][qi][pi]
+                    if not wp or s < 0 or s >= len(t2o):
+                        final = ""
+                    else:
+                        e = min(e, len(t2o) - 1)
+                        tok_text = wordpieces_to_text(wp[s : e + 1])
+                        orig_text = " ".join(doc_tokens[t2o[s] : t2o[e] + 1])
+                        final = get_final_text(
+                            tok_text, orig_text, do_lower_case=t.do_lower_case, verbose=False
+                        )
+                    qid2results[qid].append(Prediction(
+                        text=final,
+                        rank_score=float(rank_score[qi, pi]),
+                        span_score=float(span_score[qi, pi]),
+                        passage=" ".join(doc_tokens),
+                        question=batch["q"][qi],
+                    ))
+
+        match_fn = regex_match_score if t.regex else exact_match_score
+        best_em = 0.0
+        for alpha in ALPHA_GRID:
+            ems = []
+            for qid, preds in qid2results.items():
+                top = max(preds, key=lambda x: alpha * x.span_score + (1 - alpha) * x.rank_score)
+                ems.append(metric_max_over_ground_truths(match_fn, top.text, qid2ground[qid]))
+            em = float(np.mean(ems)) if ems else 0.0
+            best_em = max(best_em, em)
+        return best_em
+
+    # -------------------- training --------------------
+
+    def train(self, train_sampler, eval_sampler) -> float:
+        t = self.tcfg
+        best_em, wait, stop = 0.0, 0, False
+        meter = AverageMeter()
+        for epoch in range(t.num_train_epochs):
+            train_sampler.shuffle(seed=t.seed + epoch)
+            for batch in train_sampler.load(
+                self.query_encoder(), t.train_k, t.questions_per_batch
+            ):
+                net, _ = batch_pad(batch["net_input"], t.questions_per_batch)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, comp = self._train_step(
+                    self.state, self._device_batch(net), step_rng
+                )
+                step = int(self.state.step)
+                loss = float(comp["loss"])
+                meter.update(loss)
+                self.metrics.scalar("train_loss", loss, step)
+
+                if t.eval_period != -1 and step % t.eval_period == 0:
+                    em = self.predict(eval_sampler)
+                    self.metrics.scalar("dev_em", em * 100, step)
+                    self.logger.info(
+                        f"Step {step} loss {meter.avg:.3f} EM {em*100:.2f} epoch={epoch}"
+                    )
+                    if em > best_em:
+                        self.save("best-model")
+                        best_em, wait = em, 0
+                    else:
+                        wait += 1
+                        if wait == t.wait_step:
+                            stop = True
+                            break
+
+            self.logger.info(
+                f"Failed retrieval: {train_sampler.failed_retrieval}/{len(train_sampler)}"
+            )
+            em = self.predict(eval_sampler)
+            self.metrics.scalar("dev_em", em * 100, int(self.state.step))
+            if em > best_em:
+                self.save("best-model")
+                best_em, wait = em, 0
+            if stop:
+                break
+        self.logger.info("Training finished!")
+        return best_em

@@ -135,6 +135,9 @@ class RetrieverTrainer:
         if params is None:
             self.rng, init_rng = jax.random.split(self.rng)
             params = init_retriever_params(init_rng, bert_cfg)
+        else:
+            # the train step donates state buffers; never destroy caller arrays
+            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.tx = make_optimizer(
             tcfg.learning_rate,
             weight_decay=tcfg.weight_decay,

@@ -1,0 +1,203 @@
+"""End-to-end QA pipeline on a synthetic world: corpus in sqlite, dense index
+built with the actual tiny retriever, online sampler retrieval, joint train
+steps, and α-sweep EM prediction. Exercises the full SURVEY.md §3.4 call
+stack re-architected for TPU."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from proqa_tpu.data.docdb import DocDB
+from proqa_tpu.index import DenseIndex, IdMap
+from proqa_tpu.models.bert import BertConfig
+from proqa_tpu.models.reader import QAConfig
+from proqa_tpu.models.retriever import encode_context, init_retriever_params
+from proqa_tpu.qa.prepro import hash_question, process_ground_paras
+from proqa_tpu.qa.sampler import OnlineSampler, OnlineSamplerConfig
+from proqa_tpu.text.wordpiece import BertTokenizer
+from proqa_tpu.train.qa_trainer import QATrainer, QATrainerConfig
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"tok{i}" for i in range(60)] + [
+    "what", "is", "the", "answer", "question", "about",
+]
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """50-paragraph corpus; question i asks about topic i, whose answer
+    'tok<i+10>' appears in paragraph p<i>."""
+    root = tmp_path_factory.mktemp("qa_world")
+    vocab_path = root / "vocab.txt"
+    vocab_path.write_text("\n".join(VOCAB) + "\n")
+    tok = BertTokenizer.from_vocab_file(str(vocab_path))
+
+    n_paras = 50
+    paras = []
+    for i in range(n_paras):
+        words = [f"tok{(i + j) % 60}" for j in range(20)]
+        paras.append((f"p{i}", " ".join(words)))
+    db = DocDB.create(str(root / "docs.db"), paras)
+
+    cfg = BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0, attention_dropout=0.0,
+                          initializer_range=0.1)
+    params_r = init_retriever_params(jax.random.PRNGKey(0), cfg, embed_dim=16)
+
+    # build the index with the real context tower
+    ids_list = [tok.encode(text, max_length=64) for _, text in paras]
+    from proqa_tpu.data.collate import pad_to
+    ids = pad_to(ids_list, 64)
+    mask = (ids != 0).astype(np.int32)
+    embeds = np.asarray(encode_context(params_r, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    index = DenseIndex.from_embeddings(
+        embeds, IdMap.from_doc_ids([pid for pid, _ in paras]),
+        dtype=jnp.float32, pad_multiple=8,
+    )
+
+    qa_data = [
+        {"question": f"what is about tok{i} tok{i+1}", "answer": [f"tok{i+10}"]}
+        for i in range(12)
+    ]
+    qa_path = root / "qa.jsonl"
+    with open(qa_path, "w") as f:
+        for qa in qa_data:
+            f.write(json.dumps(qa) + "\n")
+
+    # matched-paras gold file: answers matched over the whole corpus
+    matched_path = root / "matched.jsonl"
+    with open(matched_path, "w") as f:
+        for qa in qa_data:
+            ans = qa["answer"][0]
+            gold = {pid: ans for pid, text in paras if ans in text.split()}
+            f.write(json.dumps({"question": qa["question"], "matched_paras": gold}) + "\n")
+
+    return dict(
+        root=root, tok=tok, db=db, cfg=cfg, params_r=params_r, index=index,
+        qa_path=str(qa_path), matched_path=str(matched_path), paras=paras,
+    )
+
+
+@pytest.fixture(scope="module")
+def scfg():
+    return OnlineSamplerConfig(
+        max_query_length=12, max_length=48, candidates=16, max_spans=8,
+        question_batch=4, exact_search=True,
+    )
+
+
+def _query_encoder(world):
+    cfg, params = world["cfg"], world["params_r"]
+    from proqa_tpu.models.retriever import encode_query
+
+    def enc(ids, mask):
+        return encode_query(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    return enc
+
+
+def test_sampler_train_batches(world, scfg):
+    sampler = OnlineSampler(
+        world["qa_path"], world["tok"], world["db"], world["index"], scfg,
+        matched_para_path=world["matched_path"],
+    )
+    batches = list(sampler.load(_query_encoder(world), k=3, questions_per_batch=4))
+    assert batches, "no batches produced"
+    b = batches[0]["net_input"]
+    B = b["input_ids"].shape[0]
+    assert b["input_ids"].shape == (B, 3, 48)
+    assert b["segment_ids"].shape == (B, 3, 48)
+    assert b["paragraph_mask"].shape == (B, 3, 48)
+    assert b["start_positions"].shape == (B, 3, 8)
+    assert b["para_embed"].shape == (B, 16, 16)
+    assert b["top5000_labels"].shape == (B, 16)
+
+    # every annotated span must point at the actual answer token
+    for qi in range(B):
+        answer = batches[0]["true_answers"][qi][0]
+        ans_id = world["tok"].vocab[answer]
+        sp = b["start_positions"][qi]
+        for pi in range(3):
+            for s in sp[pi]:
+                if s >= 0:
+                    assert b["input_ids"][qi, pi, s] == ans_id
+    # gold labels coverage: at least one positive somewhere
+    assert b["top5000_labels"].sum() > 0
+
+
+def test_sampler_failed_retrieval_counted(world, scfg):
+    bad_qa = [{"question": "what is about tok1", "answer": ["zzzz_missing"]}]
+    sampler = OnlineSampler(
+        bad_qa, world["tok"], world["db"], world["index"], scfg, matched_para_path="",
+    )
+    sampler.qid2goldparas = {}
+    batches = list(sampler.load(_query_encoder(world), k=2, questions_per_batch=1))
+    assert batches == []
+    assert sampler.failed_retrieval == 1
+
+
+def test_sampler_eval_batches(world, scfg):
+    sampler = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], scfg)
+    batches = list(sampler.eval_load(_query_encoder(world), k=2, questions_per_batch=4))
+    assert sum(len(b["id"]) for b in batches) == 12
+    b = batches[0]["net_input"]
+    assert b["input_ids"].shape[1:] == (2, 48)
+    assert "start_positions" not in b
+    assert len(batches[0]["tok_to_orig_index"][0]) == 2
+
+
+def test_qa_trainer_end_to_end(world, scfg, tmp_path):
+    tcfg = QATrainerConfig(
+        learning_rate=1e-3, num_train_epochs=1, eval_k=2, train_k=2,
+        questions_per_batch=4, output_dir=str(tmp_path / "qa_run"), seed=0,
+        fix_para_encoder=True,
+    )
+    from proqa_tpu.models.reader import init_qa_params
+    from proqa_tpu.parallel import make_mesh
+    qcfg = QAConfig(shared_norm=True)
+    # seed the retriever submodule with the index-building params so online
+    # retrieval is consistent with the prebuilt index
+    params = init_qa_params(jax.random.PRNGKey(5), world["cfg"], qcfg, embed_dim=16)
+    params["retriever"] = world["params_r"]
+    trainer = QATrainer(world["cfg"], qcfg, tcfg, mesh=make_mesh(4), params=params)
+
+    sampler = OnlineSampler(
+        world["qa_path"], world["tok"], world["db"], world["index"], scfg,
+        matched_para_path=world["matched_path"],
+    )
+    losses = []
+    for batch in sampler.load(trainer.query_encoder(), tcfg.train_k, 4):
+        from proqa_tpu.data.collate import batch_pad
+        net, _ = batch_pad(batch["net_input"], 4)
+        trainer.rng, r = jax.random.split(trainer.rng)
+        trainer.state, comp = trainer._train_step(trainer.state, trainer._device_batch(net), r)
+        losses.append(float(comp["loss"]))
+    assert losses and all(np.isfinite(l) for l in losses)
+    assert int(trainer.state.step) == len(losses)
+
+    em = trainer.predict(sampler)
+    assert 0.0 <= em <= 1.0
+
+    # frozen context tower must be untouched
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        trainer.state.params["retriever"]["bert_c"], world["params_r"]["bert_c"],
+    )
+
+
+def test_process_ground_paras(world, tmp_path):
+    retrieved_path = str(tmp_path / "retrieved.jsonl")
+    with open(retrieved_path, "w") as f:
+        for i in range(12):
+            f.write(json.dumps({"para_id": [f"p{j}" for j in range(50)]}) + "\n")
+    out_path = str(tmp_path / "matched_out.jsonl")
+    coverage = process_ground_paras(
+        retrieved_path, world["qa_path"], out_path, str(world["root"] / "docs.db"), k=50,
+    )
+    assert coverage == 1.0  # every answer is somewhere in the corpus
+    rows = [json.loads(l) for l in open(out_path)]
+    assert all(r["matched_paras"] for r in rows)
+    qa0 = rows[0]
+    assert any(qa0["answer"][0] in (v if isinstance(v, str) else " ".join(v))
+               for v in qa0["matched_paras"].values())
