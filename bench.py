@@ -1,0 +1,100 @@
+"""Headline benchmark: exact MIPS top-80 throughput on real TPU.
+
+Reproduces the reference's retrieval-eval operating point
+(/root/reference/retrieval/eval_retrieval.py:98-104: FAISS IndexFlatIP,
+128-d, top-80, ~2032 WebQuestions-test queries; BASELINE.md north star:
+>10k queries/sec on a v5e-8, exact full-corpus search) on synthetic
+embeddings at production corpus scale. Correctness of the exact search is
+pinned by tests/test_mips.py; here we verify a sample against numpy argsort
+and measure throughput.
+
+Baseline for `vs_baseline`: the reference's CPU exact search modeled as
+numpy `dot + argpartition` (BASELINE.json's description of eval_retrieval),
+measured on a corpus slice on this host and scaled linearly to full N.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N = 4_194_304       # 2^22 corpus rows (bf16 index: 1 GiB HBM)
+D = 128
+Q = 2048            # ~WebQuestions-test (2032) padded to a power of two
+K = 80
+ITERS = 5
+BASELINE_SLICE = 131_072
+
+
+def _numpy_baseline_qps(xq: np.ndarray, xb_slice: np.ndarray) -> float:
+    """CPU exact search on a slice; scaled to full N outside."""
+    t0 = time.perf_counter()
+    scores = xq @ xb_slice.T
+    part = np.argpartition(-scores, K, axis=1)[:, :K]
+    _ = np.take_along_axis(scores, part, axis=1)
+    dt = time.perf_counter() - t0
+    # scale: full-N time ~ dt * (N / slice)
+    full_time = dt * (N / xb_slice.shape[0])
+    return Q / full_time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from proqa_tpu.ops.mips import mips_topk_reference
+    from proqa_tpu.ops.pallas_mips import mips_topk_pallas
+
+    rng = np.random.default_rng(0)
+    xb = rng.standard_normal((N, D)).astype(np.float32)
+    xq = rng.standard_normal((Q, D)).astype(np.float32)
+
+    corpus = jax.device_put(jnp.asarray(xb, jnp.bfloat16))
+    queries = jax.device_put(jnp.asarray(xq, jnp.bfloat16))
+
+    def search():
+        return mips_topk_pallas(queries, corpus, K, block=256, kb=128, q_chunk=256)
+
+    # warmup/compile
+    vals, idx = search()
+    idx.block_until_ready()
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        vals, idx = search()
+        np.asarray(idx)  # force full completion through the transfer
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    qps = Q / dt
+
+    # correctness spot check on a subsample of queries vs naive device search
+    sub = 64
+    rv, ri = mips_topk_reference(queries[:sub], corpus, K)
+    got, want = np.asarray(idx[:sub]), np.asarray(ri)
+    overlap = np.mean([
+        len(set(got[i]) & set(want[i])) / K for i in range(sub)
+    ])
+
+    baseline_qps = _numpy_baseline_qps(xq, xb[:BASELINE_SLICE])
+
+    result = {
+        "metric": f"exact_mips_top{K}_qps_{N}x{D}",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / baseline_qps, 1),
+        "detail": {
+            "search_ms": round(dt * 1e3, 2),
+            "self_recall": round(float(overlap), 4),
+            "numpy_cpu_qps_scaled": round(baseline_qps, 2),
+            "corpus": f"{N}x{D} bf16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Pallas fused scoring + block-max kernel for exact MIPS.
+
+Why a custom kernel: the exact search needs per-block score maxima over the
+whole corpus (phase 1 of ops/mips.py's block-max hierarchy). Left to XLA, the
+[Q, N] score matrix materializes in HBM (4 MQ bytes — 32 GB at production
+sizes, OOM + pure bandwidth waste). This kernel tiles the scoring matmul on
+the MXU and reduces each corpus block's maximum IN VMEM, so HBM traffic is
+just the corpus read (bf16) plus the tiny [N/block, Q] maxima output.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md):
+* output is corpus-block-major [NB, Q] so each grid step writes a
+  (TN/block, TQ) tile with the lane dimension = TQ >= 128 (f32 tiling);
+* queries enter pre-transposed [D, TQ] so the kernel is a plain [TN,D]x[D,TQ]
+  MXU matmul, f32 accumulation;
+* the sublane-splitting reshape [TN, TQ] -> [TN/block, block, TQ] keeps the
+  lane dim intact (Mosaic-supported), then a sublane max-reduce.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from proqa_tpu.ops.mips import NEG_INF
+
+
+def _bmax_kernel(qt_ref, c_ref, out_ref, *, block: int, tn: int, tq: int):
+    s = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32)  # [TN, TQ]
+    out_ref[:] = jnp.max(s.reshape(tn // block, block, tq), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "tile_n", "tile_q", "interpret")
+)
+def block_maxima(
+    queries: jax.Array,     # [Q, D] (Q % tile_q == 0)
+    corpus: jax.Array,      # [N, D] (N % tile_n == 0)
+    *,
+    block: int = 256,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-(query, corpus-block) score maxima, shape [N/block, Q] f32."""
+    q, d = queries.shape
+    n, d2 = corpus.shape
+    assert d == d2 and n % tile_n == 0 and q % tile_q == 0 and tile_n % block == 0
+    nb = n // block
+    qt = queries.T  # [D, Q]
+
+    grid = (q // tile_q, n // tile_n)
+    kernel = functools.partial(_bmax_kernel, block=block, tn=tile_n, tq=tile_q)
+    flops = 2 * q * n * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, tile_q), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n // block, tile_q), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, q), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n * d * corpus.dtype.itemsize + nb * q * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, corpus)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "kb", "q_chunk", "tile_n", "tile_q", "n_valid", "interpret"),
+)
+def mips_topk_pallas(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    *,
+    block: int = 256,
+    kb: int = 128,
+    q_chunk: int = 256,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    n_valid: int | None = None,
+    interpret: bool = False,
+):
+    """Exact MIPS top-k: fused phase-1 kernel + exact phase-2 rescoring of
+    each query's top-kb blocks (same guarantee as ops.mips.mips_topk_blockmax;
+    see its docstring for the exactness argument).
+
+    Requires Q % tile_q == 0 (pad queries) and kb >= k.
+    """
+    from proqa_tpu.ops.mips import _precision
+
+    q, d = queries.shape
+    n0 = corpus.shape[0]
+    if n_valid is None:
+        n_valid = n0
+    pad = (-n0) % tile_n
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    n = corpus.shape[0]
+    nb = n // block
+    kb = min(kb, nb)
+    assert kb >= min(k, nb)
+
+    bmax = block_maxima(
+        queries, corpus, block=block, tile_n=tile_n, tile_q=tile_q, interpret=interpret
+    )                                                     # [NB, Q]
+    # blocks entirely past n_valid can never contain results
+    full_pad_block = (jnp.arange(nb) * block) >= n_valid
+    bmax = jnp.where(full_pad_block[:, None], NEG_INF, bmax)
+
+    _, top_blocks = jax.lax.top_k(bmax.T, kb)             # [Q, kb]
+    top_blocks = top_blocks.astype(jnp.int32)
+
+    corpus_blocks = corpus.reshape(nb, block, d)
+
+    def chunk_topk(args):
+        q_emb, blocks_ids = args
+        cand = jnp.take(corpus_blocks, blocks_ids, axis=0)       # [QC, kb, B, D]
+        s = jnp.einsum(
+            "qkbd,qd->qkb", cand.astype(q_emb.dtype), q_emb,
+            preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
+        ).reshape(q_emb.shape[0], kb * block)
+        base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
+        flat_idx = base.reshape(q_emb.shape[0], kb * block)
+        s = jnp.where(flat_idx < n_valid, s, NEG_INF)
+        vals, sel = jax.lax.top_k(s, k)
+        idx = jnp.take_along_axis(flat_idx, sel, axis=1)
+        return vals, idx.astype(jnp.int32)
+
+    if q <= q_chunk:
+        return chunk_topk((queries, top_blocks))
+    assert q % q_chunk == 0
+    qr = queries.reshape(q // q_chunk, q_chunk, d)
+    br = top_blocks.reshape(q // q_chunk, q_chunk, kb)
+    vals, idx = jax.lax.map(chunk_topk, (qr, br))
+    return vals.reshape(q, k), idx.reshape(q, k)
