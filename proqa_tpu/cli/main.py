@@ -1,0 +1,440 @@
+"""`proqa` CLI — one typed entry point replacing the reference's per-script
+argparse files and shell recipes (retrieval/config.py, qa/config.py, the four
+*.sh launchers).
+
+Subcommands (mapping to SURVEY.md §3 workloads):
+  pretrain-retriever   contrastive bi-encoder pretraining (§3.1)
+  build-index          corpus -> dense index artifacts (§3.2)
+  encode-queries       questions -> query embedding .npy (§3.2)
+  eval-retrieval       recall@k over the index (§3.3)
+  cluster-corpus       k-means + per-cluster pretraining shards (group_paras)
+  match-paras          weak-supervision gold-para matching (prepro_dense)
+  finetune-qa          joint retrieve+read training (§3.4)
+  eval-qa              EM eval with the rank/span alpha sweep
+  convert-hf           torch BERT/retriever checkpoint -> our params
+  convert-trec / convert-msmarco   dataset converters
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _bert_cfg(args):
+    import jax.numpy as jnp
+
+    from proqa_tpu.models.bert import BertConfig
+
+    if args.tiny:
+        return BertConfig.tiny(dtype=jnp.bfloat16)
+    return BertConfig(dtype=jnp.bfloat16)
+
+
+def _tokenizer(args):
+    from proqa_tpu.text.wordpiece import BertTokenizer
+
+    return BertTokenizer.from_vocab_file(args.vocab, do_lower_case=not args.cased)
+
+
+def _load_params(path: str, template):
+    """Load bare params or a full TrainState msgpack into a params template."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and set(raw.keys()) == {"step", "params", "opt_state"}:
+        raw = raw["params"]
+    return serialization.from_state_dict(template, raw)
+
+
+def _save_params(path: str, params):
+    from proqa_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(path, params)
+
+
+def _add_common(p):
+    p.add_argument("--vocab", required=True, help="wordpiece vocab file")
+    p.add_argument("--cased", action="store_true")
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--max-seq-length", type=int, default=512)
+    p.add_argument("--max-query-length", type=int, default=30)
+
+
+def cmd_pretrain_retriever(args):
+    import os
+
+    import jax
+
+    from proqa_tpu.data.datasets import (
+        ClusterPairDataset, PairDataset, cluster_batch_order, grouped_shuffle_order,
+    )
+    from proqa_tpu.data.loader import BatchLoader
+    from proqa_tpu.models.retriever import init_retriever_params
+    from proqa_tpu.train.retriever_trainer import RetrieverTrainer, RetrieverTrainerConfig
+
+    cfg = _bert_cfg(args)
+    tok = _tokenizer(args)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        accumulate_gradients=args.accumulate_gradients,
+        num_train_epochs=args.num_train_epochs,
+        eval_period=args.eval_period,
+        save_checkpoints_steps=args.save_checkpoints_steps,
+        wait_step=args.wait_step,
+        warmup_steps=args.warmup_steps,
+        seed=args.seed,
+        output_dir=args.output_dir,
+    )
+    params = None
+    if args.init_checkpoint:
+        template = init_retriever_params(jax.random.PRNGKey(0), cfg)
+        params = _load_params(args.init_checkpoint, template)
+    trainer = RetrieverTrainer(cfg, tcfg, params=params)
+    if args.resume:
+        trainer.resume(args.resume)
+
+    is_cluster = os.path.isdir(args.train_file)
+    if is_cluster:
+        train_ds = ClusterPairDataset(
+            tok, args.train_file, args.max_query_length, args.max_seq_length, args.filter
+        )
+    else:
+        train_ds = PairDataset(
+            tok, args.train_file, args.max_query_length, args.max_seq_length, args.filter
+        )
+    eval_ds = PairDataset(tok, args.predict_file, args.max_query_length, args.max_seq_length)
+
+    import random as _random
+
+    def train_batches(epoch):
+        rng = _random.Random(args.seed + epoch)
+        order = (
+            cluster_batch_order(train_ds, args.train_batch_size, rng)
+            if is_cluster else grouped_shuffle_order(train_ds, rng)
+        )
+        return BatchLoader(train_ds.batches(order, args.train_batch_size), prefetch=4)
+
+    def eval_batches():
+        return BatchLoader(
+            eval_ds.batches(list(range(len(eval_ds))), args.predict_batch_size), prefetch=4
+        )
+
+    best = trainer.train(train_batches, eval_batches)
+    print(json.dumps({"best_in_batch_acc": best}))
+
+
+def cmd_build_index(args):
+    import jax
+
+    from proqa_tpu.index.build import build_index
+    from proqa_tpu.models.retriever import init_retriever_params
+
+    cfg = _bert_cfg(args)
+    tok = _tokenizer(args)
+    template = init_retriever_params(jax.random.PRNGKey(0), cfg)
+    params = _load_params(args.init_checkpoint, template)
+    index = build_index(
+        params, cfg, args.corpus,
+        tokenizer=tok, max_length=args.max_seq_length,
+        batch_size=args.predict_batch_size, save_path=args.output_dir,
+    )
+    print(json.dumps({"rows": len(index), "dim": index.dim, "saved": args.output_dir}))
+
+
+def cmd_encode_queries(args):
+    import jax
+
+    from proqa_tpu.data.datasets import EncodeDataset
+    from proqa_tpu.index.build import encode_corpus
+    from proqa_tpu.models.retriever import init_retriever_params
+
+    cfg = _bert_cfg(args)
+    tok = _tokenizer(args)
+    template = init_retriever_params(jax.random.PRNGKey(0), cfg)
+    params = _load_params(args.init_checkpoint, template)
+    ds = EncodeDataset(tok, args.queries, max_query_length=args.max_query_length, is_query=True)
+    emb = encode_corpus(params, cfg, ds, batch_size=args.predict_batch_size, is_query=True)
+    np.save(args.output, emb)
+    print(json.dumps({"queries": int(emb.shape[0]), "saved": args.output}))
+
+
+def cmd_eval_retrieval(args):
+    from proqa_tpu.data.docdb import DocDB
+    from proqa_tpu.index.dense import DenseIndex
+    from proqa_tpu.index.recall import evaluate_retrieval
+
+    index = DenseIndex.load(args.index)
+    db = DocDB(args.db)
+    q = np.load(args.query_embed)
+    recalls = evaluate_retrieval(
+        args.raw_data, index, q, db, topk=args.topk, num_workers=args.num_workers
+    )
+    for k, v in sorted(recalls.items()):
+        print(f"Top {k} Recall: {v:.4f}")
+    print(json.dumps({f"recall@{k}": v for k, v in recalls.items()}))
+
+
+def cmd_cluster_corpus(args):
+    from proqa_tpu.index.cluster import cluster_corpus_embeddings, write_cluster_shards
+
+    emb = np.load(args.embeddings)
+    assignments = cluster_corpus_embeddings(
+        emb, args.ncentroids, niter=args.niter,
+        max_points_per_centroid=args.max_points_per_centroid,
+        spherical=args.spherical, seed=args.seed,
+    )
+    n = write_cluster_shards(args.pairs, assignments, args.output_dir)
+    print(json.dumps({"shards": n, "ncentroids": args.ncentroids}))
+
+
+def cmd_match_paras(args):
+    from proqa_tpu.qa.prepro import process_ground_paras
+
+    coverage = process_ground_paras(
+        args.retrieved, args.raw_data, args.output, args.db,
+        k=args.topk, match="regex" if args.regex else "string",
+        num_workers=args.num_workers,
+    )
+    print(json.dumps({"topk_gold_coverage": coverage}))
+
+
+def _qa_setup(args):
+    import jax
+
+    from proqa_tpu.data.docdb import DocDB
+    from proqa_tpu.index.dense import DenseIndex
+    from proqa_tpu.models.reader import QAConfig, init_qa_params
+    from proqa_tpu.qa.sampler import OnlineSampler, OnlineSamplerConfig
+    from proqa_tpu.train.qa_trainer import QATrainer, QATrainerConfig
+
+    cfg = _bert_cfg(args)
+    tok = _tokenizer(args)
+    qcfg = QAConfig(
+        shared_norm=args.shared_norm, separate=args.separate,
+        add_select=args.add_select, drop_early=args.drop_early, qa_drop=args.qa_drop,
+    )
+    tcfg = QATrainerConfig(
+        learning_rate=args.learning_rate,
+        num_train_epochs=args.num_train_epochs,
+        eval_period=args.eval_period,
+        wait_step=args.wait_step,
+        eval_k=args.eval_k,
+        train_k=args.train_batch_size,
+        questions_per_batch=args.questions_per_batch,
+        fix_para_encoder=args.fix_para_encoder,
+        regex=args.regex,
+        seed=args.seed,
+        output_dir=args.output_dir,
+        do_lower_case=not args.cased,
+    )
+    params = init_qa_params(jax.random.PRNGKey(args.seed), cfg, qcfg)
+    if args.retriever_path:
+        from proqa_tpu.models.retriever import init_retriever_params
+
+        params["retriever"] = _load_params(
+            args.retriever_path, init_retriever_params(jax.random.PRNGKey(0), cfg)
+        )
+    if args.init_checkpoint:
+        params = _load_params(args.init_checkpoint, params)
+    trainer = QATrainer(cfg, qcfg, tcfg, params=params)
+
+    db = DocDB(args.db)
+    index = DenseIndex.load(args.index)
+    scfg = OnlineSamplerConfig(
+        max_query_length=args.max_query_length,
+        max_length=args.max_seq_length,
+        candidates=args.candidates,
+        regex=args.regex,
+        question_batch=args.questions_per_batch,
+        exact_search=not args.approx_search,
+    )
+    make_sampler = lambda raw, matched="": OnlineSampler(
+        raw, tok, db, index, scfg, matched_para_path=matched
+    )
+    return trainer, make_sampler
+
+
+def cmd_finetune_qa(args):
+    trainer, make_sampler = _qa_setup(args)
+    train_sampler = make_sampler(args.train_file, args.matched_para_path)
+    eval_sampler = make_sampler(args.predict_file)
+    best = trainer.train(train_sampler, eval_sampler)
+    print(json.dumps({"best_em": best}))
+
+
+def cmd_eval_qa(args):
+    trainer, make_sampler = _qa_setup(args)
+    em = trainer.predict(make_sampler(args.predict_file))
+    print(json.dumps({"em": em}))
+
+
+def cmd_convert_hf(args):
+    import torch
+
+    from proqa_tpu.models.hf_convert import (
+        bert_params_from_state_dict, retriever_params_from_state_dict, strip_ddp_prefix,
+    )
+
+    cfg = _bert_cfg(args)
+    state = torch.load(args.torch_checkpoint, map_location="cpu")
+    if args.kind == "retriever":
+        params = retriever_params_from_state_dict(state, cfg)
+    else:
+        params = bert_params_from_state_dict(strip_ddp_prefix(state), cfg)
+    _save_params(args.output, params)
+    print(json.dumps({"saved": args.output, "kind": args.kind}))
+
+
+def cmd_convert_trec(args):
+    from proqa_tpu.data.converters import trec_extract_labels, trec_prepare_corpus
+
+    if args.collection:
+        n = trec_prepare_corpus(args.collection, args.corpus_out)
+        print(json.dumps({"corpus_rows": n}))
+    if args.qrels:
+        n = trec_extract_labels(args.qrels, args.queries, args.labels_out)
+        print(json.dumps({"labeled_queries": n}))
+
+
+def cmd_convert_msmarco(args):
+    from proqa_tpu.data.converters import msmarco_extract_qa
+
+    n = msmarco_extract_qa(args.input, args.output)
+    print(json.dumps({"qa_pairs": n}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="proqa", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pretrain-retriever")
+    _add_common(sp)
+    sp.add_argument("--train-file", required=True, help="pairs jsonl or cluster-shard dir")
+    sp.add_argument("--predict-file", required=True)
+    sp.add_argument("--output-dir", default="logs/retriever")
+    sp.add_argument("--init-checkpoint", default="")
+    sp.add_argument("--resume", default="")
+    sp.add_argument("--train-batch-size", type=int, default=80)
+    sp.add_argument("--predict-batch-size", type=int, default=100)
+    sp.add_argument("--learning-rate", type=float, default=1e-5)
+    sp.add_argument("--weight-decay", type=float, default=0.0)
+    sp.add_argument("--accumulate-gradients", type=int, default=1)
+    sp.add_argument("--num-train-epochs", type=int, default=100)
+    sp.add_argument("--eval-period", type=int, default=2500)
+    sp.add_argument("--save-checkpoints-steps", type=int, default=20000)
+    sp.add_argument("--wait-step", type=int, default=100)
+    sp.add_argument("--warmup-steps", type=int, default=0)
+    sp.add_argument("--filter", action="store_true")
+    sp.set_defaults(fn=cmd_pretrain_retriever)
+
+    sp = sub.add_parser("build-index")
+    _add_common(sp)
+    sp.add_argument("--corpus", required=True, help='{"text", ["id"]} jsonl')
+    sp.add_argument("--init-checkpoint", required=True)
+    sp.add_argument("--output-dir", required=True)
+    sp.add_argument("--predict-batch-size", type=int, default=512)
+    sp.set_defaults(fn=cmd_build_index)
+
+    sp = sub.add_parser("encode-queries")
+    _add_common(sp)
+    sp.add_argument("--queries", required=True, help='{"question"} jsonl')
+    sp.add_argument("--init-checkpoint", required=True)
+    sp.add_argument("--output", required=True, help=".npy path")
+    sp.add_argument("--predict-batch-size", type=int, default=512)
+    sp.set_defaults(fn=cmd_encode_queries)
+
+    sp = sub.add_parser("eval-retrieval")
+    sp.add_argument("raw_data")
+    sp.add_argument("index", help="index dir or embeddings .npy")
+    sp.add_argument("query_embed", help="query embeddings .npy")
+    sp.add_argument("db")
+    sp.add_argument("--topk", type=int, default=80)
+    sp.add_argument("--num-workers", type=int, default=0)
+    sp.set_defaults(fn=cmd_eval_retrieval)
+
+    sp = sub.add_parser("cluster-corpus")
+    sp.add_argument("--embeddings", required=True, help="pair-paragraph embeds .npy")
+    sp.add_argument("--pairs", required=True, help="pretraining pairs jsonl")
+    sp.add_argument("--output-dir", required=True)
+    sp.add_argument("--ncentroids", type=int, default=10000)
+    sp.add_argument("--niter", type=int, default=250)
+    sp.add_argument("--max-points-per-centroid", type=int, default=1000)
+    sp.add_argument("--spherical", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_cluster_corpus)
+
+    sp = sub.add_parser("match-paras")
+    sp.add_argument("--retrieved", required=True)
+    sp.add_argument("--raw-data", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--db", required=True)
+    sp.add_argument("--topk", type=int, default=10000)
+    sp.add_argument("--regex", action="store_true")
+    sp.add_argument("--num-workers", type=int, default=0)
+    sp.set_defaults(fn=cmd_match_paras)
+
+    for name, fn in (("finetune-qa", cmd_finetune_qa), ("eval-qa", cmd_eval_qa)):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+        sp.add_argument("--train-file", default="")
+        sp.add_argument("--predict-file", required=True)
+        sp.add_argument("--db", required=True)
+        sp.add_argument("--index", required=True)
+        sp.add_argument("--matched-para-path", default="")
+        sp.add_argument("--output-dir", default="logs/qa")
+        sp.add_argument("--init-checkpoint", default="")
+        sp.add_argument("--retriever-path", default="")
+        sp.add_argument("--train-batch-size", type=int, default=5, help="k paras/question")
+        sp.add_argument("--questions-per-batch", type=int, default=1)
+        sp.add_argument("--candidates", type=int, default=5000)
+        sp.add_argument("--eval-k", type=int, default=5)
+        sp.add_argument("--learning-rate", type=float, default=1e-5)
+        sp.add_argument("--num-train-epochs", type=int, default=20)
+        sp.add_argument("--eval-period", type=int, default=-1)
+        sp.add_argument("--wait-step", type=int, default=100)
+        sp.add_argument("--shared-norm", action="store_true")
+        sp.add_argument("--separate", action="store_true")
+        sp.add_argument("--add-select", action="store_true")
+        sp.add_argument("--drop-early", action="store_true")
+        sp.add_argument("--qa-drop", type=float, default=0.0)
+        sp.add_argument("--fix-para-encoder", action="store_true")
+        sp.add_argument("--regex", action="store_true")
+        sp.add_argument("--approx-search", action="store_true")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("convert-hf")
+    _add_common(sp)
+    sp.add_argument("--torch-checkpoint", required=True)
+    sp.add_argument("--kind", choices=["bert", "retriever"], default="retriever")
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_convert_hf)
+
+    sp = sub.add_parser("convert-trec")
+    sp.add_argument("--collection", default="")
+    sp.add_argument("--corpus-out", default="trec_corpus.jsonl")
+    sp.add_argument("--qrels", default="")
+    sp.add_argument("--queries", default="")
+    sp.add_argument("--labels-out", default="trec_labels.jsonl")
+    sp.set_defaults(fn=cmd_convert_trec)
+
+    sp = sub.add_parser("convert-msmarco")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_convert_msmarco)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

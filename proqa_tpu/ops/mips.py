@@ -64,6 +64,43 @@ def _mask_padding(scores: jax.Array, n_valid: int) -> jax.Array:
     return jnp.where(valid[None, :], scores, NEG_INF)
 
 
+def exact_topk(scores: jax.Array, k: int, *, group: int | None = None):
+    """Exact top-k along the last axis, hierarchically: group-max -> top-k
+    groups -> top-k within the k selected groups. Replaces XLA's TopK (which
+    is O(70ms) at [2048, 16k] on v5e) with two small TopKs + a gather.
+
+    Exactness: any row r in the true top-k has its group's max >= score(r)
+    >= v_k; any group ranked above r's group has max > score(r), hence holds
+    an element >= score(r); at most k such groups exist, so r's group is
+    among the top-k groups (ties can swap equal values only).
+
+    scores: [..., C]; returns (values [..., k], indices [..., k] int32).
+    """
+    c = scores.shape[-1]
+    if c <= 4 * k:  # hierarchy not worth it
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx.astype(jnp.int32)
+    if group is None:
+        group = max(8, 1 << int(math.sqrt(c / k)).bit_length())
+    pad = (-c) % group
+    if pad:
+        scores = jnp.pad(scores, [(0, 0)] * (scores.ndim - 1) + [(0, pad)],
+                         constant_values=NEG_INF)
+    cg = scores.shape[-1] // group
+    lead = scores.shape[:-1]
+    grouped = scores.reshape(*lead, cg, group)
+    gmax = jnp.max(grouped, axis=-1)                       # [..., CG]
+    _, top_groups = jax.lax.top_k(gmax, min(k, cg))        # [..., k]
+    cand = jnp.take_along_axis(grouped, top_groups[..., None], axis=-2)
+    cand = cand.reshape(*lead, -1)                         # [..., k*group]
+    vals, sel = jax.lax.top_k(cand, k)
+    base = top_groups * group                              # [..., k]
+    idx = jnp.take_along_axis(
+        (base[..., None] + jnp.arange(group)).reshape(*lead, -1), sel, axis=-1
+    )
+    return vals, idx.astype(jnp.int32)
+
+
 def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int, *, n_valid: int | None = None):
     """Naive full-score top-k. Ground truth for tests; fine for small N.
     n_valid: true row count when the corpus is pre-padded (padded rows are
@@ -115,9 +152,10 @@ def mips_topk_blockmax(
     bmax = jnp.max(scores.reshape(q, nb, block), axis=-1)
 
     if exact_blocks:
-        _, top_blocks = jax.lax.top_k(bmax, kb)    # [Q, kb]
+        _, top_blocks = exact_topk(bmax, kb)       # [Q, kb]
     else:
         _, top_blocks = jax.lax.approx_max_k(bmax, kb)
+        top_blocks = top_blocks.astype(jnp.int32)
     top_blocks = top_blocks.astype(jnp.int32)
 
     # ---- phase 2: exact top-k within each query's candidate blocks ----
@@ -133,7 +171,7 @@ def mips_topk_blockmax(
         base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
         flat_idx = base.reshape(q_emb.shape[0], kb * block)
         s = jnp.where(flat_idx < n_valid, s, NEG_INF)
-        vals, sel = jax.lax.top_k(s, k)
+        vals, sel = exact_topk(s, k)
         idx = jnp.take_along_axis(flat_idx, sel, axis=1)
         return vals, idx.astype(jnp.int32)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from proqa_tpu.ops.mips import NEG_INF
+from proqa_tpu.ops.mips import NEG_INF, exact_topk
 
 
 def _bmax_kernel(qt_ref, c_ref, out_ref, *, block: int, tn: int, tq: int):
@@ -117,7 +117,7 @@ def mips_topk_pallas(
     full_pad_block = (jnp.arange(nb) * block) >= n_valid
     bmax = jnp.where(full_pad_block[:, None], NEG_INF, bmax)
 
-    _, top_blocks = jax.lax.top_k(bmax.T, kb)             # [Q, kb]
+    _, top_blocks = exact_topk(bmax.T, kb)                # [Q, kb]
     top_blocks = top_blocks.astype(jnp.int32)
 
     corpus_blocks = corpus.reshape(nb, block, d)
@@ -132,7 +132,7 @@ def mips_topk_pallas(
         base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
         flat_idx = base.reshape(q_emb.shape[0], kb * block)
         s = jnp.where(flat_idx < n_valid, s, NEG_INF)
-        vals, sel = jax.lax.top_k(s, k)
+        vals, sel = exact_topk(s, k)
         idx = jnp.take_along_axis(flat_idx, sel, axis=1)
         return vals, idx.astype(jnp.int32)
 

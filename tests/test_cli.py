@@ -1,0 +1,154 @@
+"""CLI integration: the full minimum end-to-end slice (SURVEY.md §7) through
+the `proqa` entry point — pretrain -> build-index -> encode-queries ->
+eval-retrieval -> cluster-corpus -> match-paras — on a tiny synthetic world."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from proqa_tpu.cli.main import main
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"tok{i}" for i in range(60)] + [
+    "what", "is", "about",
+]
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_world")
+    (root / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+
+    # pretraining pairs (3 questions per paragraph, filter-passing lengths)
+    with open(root / "pairs.jsonl", "w") as f:
+        for i in range(30):
+            pid = i // 3
+            f.write(json.dumps({
+                "Question": f"what is about tok{pid} variant {i % 3}",
+                "Paragraph": " ".join([f"tok{(pid + j) % 60}" for j in range(25)]),
+                "Answer": f"tok{pid + 10}",
+            }) + "\n")
+
+    # corpus + sqlite db
+    from proqa_tpu.data.docdb import DocDB
+
+    paras = [(f"p{i}", " ".join([f"tok{(i + j) % 60}" for j in range(20)])) for i in range(40)]
+    DocDB.create(str(root / "docs.db"), paras).close()
+    with open(root / "corpus.jsonl", "w") as f:
+        for pid, text in paras:
+            f.write(json.dumps({"text": text, "id": pid}) + "\n")
+
+    # eval QA pairs
+    with open(root / "qa.jsonl", "w") as f:
+        for i in range(8):
+            f.write(json.dumps({
+                "question": f"what is about tok{i}", "answer": [f"tok{i + 5}"],
+            }) + "\n")
+    return root
+
+
+def _common(world):
+    return ["--vocab", str(world / "vocab.txt"), "--tiny",
+            "--max-seq-length", "64", "--max-query-length", "12"]
+
+
+def test_cli_pretrain_and_index_pipeline(world, capsys):
+    out_dir = str(world / "retriever_run")
+    main([
+        "pretrain-retriever", *_common(world),
+        "--train-file", str(world / "pairs.jsonl"),
+        "--predict-file", str(world / "pairs.jsonl"),
+        "--output-dir", out_dir,
+        "--train-batch-size", "8",
+        "--predict-batch-size", "8",
+        "--num-train-epochs", "1",
+        "--eval-period", "2",
+        "--save-checkpoints-steps", "100",
+        "--learning-rate", "1e-3",
+        "--filter",
+    ])
+    assert os.path.exists(f"{out_dir}/checkpoint_last.msgpack")
+    ckpt = f"{out_dir}/checkpoint_last.msgpack"
+
+    main([
+        "build-index", *_common(world),
+        "--corpus", str(world / "corpus.jsonl"),
+        "--init-checkpoint", ckpt,
+        "--output-dir", str(world / "index"),
+        "--predict-batch-size", "8",
+    ])
+    assert os.path.exists(world / "index" / "embeddings.npy")
+    assert os.path.exists(world / "index" / "idx_id.json")
+    emb = np.load(world / "index" / "embeddings.npy")
+    assert emb.shape == (40, 128)
+
+    main([
+        "encode-queries", *_common(world),
+        "--queries", str(world / "qa.jsonl"),
+        "--init-checkpoint", ckpt,
+        "--output", str(world / "q.npy"),
+        "--predict-batch-size", "8",
+    ])
+    assert np.load(world / "q.npy").shape == (8, 128)
+
+    main([
+        "eval-retrieval",
+        str(world / "qa.jsonl"), str(world / "index"), str(world / "q.npy"),
+        str(world / "docs.db"), "--topk", "20",
+    ])
+    out = capsys.readouterr().out
+    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    recalls = json.loads(line)
+    assert "recall@20" in recalls and 0.0 <= recalls["recall@20"] <= 1.0
+
+    main([
+        "cluster-corpus",
+        "--embeddings", str(world / "index" / "embeddings.npy"),
+        "--pairs", str(world / "corpus.jsonl"),
+        "--output-dir", str(world / "splits"),
+        "--ncentroids", "4", "--niter", "5", "--max-points-per-centroid", "1000",
+    ])
+    shards = os.listdir(world / "splits")
+    assert 1 <= len(shards) <= 4
+    total = sum(len(open(world / "splits" / s).readlines()) for s in shards)
+    assert total == 40
+
+
+def test_cli_match_paras(world, capsys):
+    with open(world / "retrieved.jsonl", "w") as f:
+        for _ in range(8):
+            f.write(json.dumps({"para_id": [f"p{j}" for j in range(40)]}) + "\n")
+    main([
+        "match-paras",
+        "--retrieved", str(world / "retrieved.jsonl"),
+        "--raw-data", str(world / "qa.jsonl"),
+        "--output", str(world / "matched.jsonl"),
+        "--db", str(world / "docs.db"),
+        "--topk", "40",
+    ])
+    out = capsys.readouterr().out
+    cov = json.loads(out.strip().splitlines()[-1])["topk_gold_coverage"]
+    assert cov == 1.0
+
+
+def test_cli_convert_hf(world, tmp_path):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from proqa_tpu.models.bert import BertConfig
+
+    cfg = BertConfig.tiny()
+    hf_cfg = transformers.BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+    )
+    model = transformers.BertModel(hf_cfg)
+    pt = str(tmp_path / "bert.pt")
+    torch.save(model.state_dict(), pt)
+    out = str(tmp_path / "bert.msgpack")
+    main([
+        "convert-hf", "--vocab", str(world / "vocab.txt"), "--tiny",
+        "--torch-checkpoint", pt, "--kind", "bert", "--output", out,
+    ])
+    assert os.path.exists(out)

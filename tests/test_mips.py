@@ -87,3 +87,24 @@ def test_bf16_corpus():
     bv, bi = mips_topk_blockmax(queries, corpus, 16, block=64, kb=16, q_chunk=8)
     rv, ri = mips_topk_reference(queries, corpus, 16)
     np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
+
+
+def test_exact_topk_hierarchical():
+    from proqa_tpu.ops.mips import exact_topk
+    rng = np.random.default_rng(7)
+    scores = jnp.asarray(rng.standard_normal((16, 5000)), jnp.float32)
+    for k, group in [(13, None), (80, 16), (128, 64), (7, 8)]:
+        rv, ri = jax.lax.top_k(scores, k)
+        v, i = exact_topk(scores, k, group=group)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv))
+
+
+def test_exact_topk_adversarial_one_group():
+    """All top values packed into one group still come out exactly."""
+    from proqa_tpu.ops.mips import exact_topk
+    scores = np.zeros((2, 1024), np.float32)
+    scores[:, 100:120] = np.arange(20, 0, -1)
+    v, i = exact_topk(jnp.asarray(scores), 16, group=32)
+    rv, ri = jax.lax.top_k(jnp.asarray(scores), 16)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
