@@ -1,0 +1,1 @@
+"""Native (C++) host-side components, loaded via ctypes with on-demand build."""

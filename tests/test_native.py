@@ -1,0 +1,78 @@
+"""Native C++ wordpiece: exact parity with the Python tokenizer (ASCII fast
+path + fallback), fuzz-tested, plus a sanity speed check."""
+import random
+import string
+import time
+
+import pytest
+
+from proqa_tpu.text.basic import BasicTokenizer
+from proqa_tpu.text.wordpiece import BertTokenizer, WordpieceTokenizer
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] the quick brown fox jump ##s over lazy dog a an of "
+    "in was b ##ob born 1992 ##92 19 , . ? ! ' - ( ) un ##able able run ##ning "
+    "1 2 3 ##1 ##2 ##3 w ##0 ##4 ##5 tok ##en"
+).split(" ")
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nat") / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    native = BertTokenizer.from_vocab_file(str(p))
+    if native._native is None:
+        pytest.skip("native tokenizer unavailable (g++ missing?)")
+    pure = BertTokenizer.from_vocab_file(str(p))
+    pure._native = None
+    return native, pure
+
+
+def test_native_matches_python_basic(pair):
+    native, pure = pair
+    cases = [
+        "The quick brown fox jumps over the lazy dog",
+        "unable, unknowable!! running",
+        "b0b was born in 1992.",
+        "", "   ", "a" * 150,
+        "control\x01chars\x7fhere",
+        "tabs\tand\nnewlines",
+    ]
+    for s in cases:
+        assert native.tokenize(s) == pure.tokenize(s), repr(s)
+
+
+def test_native_fallback_non_ascii(pair):
+    native, pure = pair
+    for s in ["naïve café", "héllo", "токен", "日本語 text"]:
+        assert native.tokenize(s) == pure.tokenize(s), repr(s)
+
+
+def test_native_fuzz(pair):
+    native, pure = pair
+    rng = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        assert native.tokenize(s) == pure.tokenize(s), repr(s)
+
+
+def test_native_encode_path(pair):
+    native, _ = pair
+    ids = native.encode("the quick fox", max_length=8)
+    assert ids[0] == native.cls_id and ids[-1] == native.sep_id
+
+
+def test_native_is_faster(pair):
+    native, pure = pair
+    text = "the quick brown fox jumps over the lazy dog , running unable ! " * 20
+
+    def bench(tok, n=200):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tok.tokenize(text)
+        return time.perf_counter() - t0
+
+    t_native, t_pure = bench(native), bench(pure)
+    # soft bound: native should be clearly faster on ASCII text
+    assert t_native < t_pure, (t_native, t_pure)
