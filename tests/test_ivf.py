@@ -1,0 +1,73 @@
+"""IVF index: recall against exact search, overflow handling, full-probe
+exactness."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from proqa_tpu.index.ivf import build_ivf
+from proqa_tpu.ops.mips import mips_topk_reference
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    # clusterable data: 32 blobs
+    centers = rng.standard_normal((32, 32)) * 2
+    pts = (centers[rng.integers(0, 32, size=4096)] +
+           0.3 * rng.standard_normal((4096, 32))).astype(np.float32)
+    queries = (centers[rng.integers(0, 32, size=16)] +
+               0.3 * rng.standard_normal((16, 32))).astype(np.float32)
+    return pts, queries
+
+
+def test_ivf_recall(data):
+    pts, queries = data
+    index = build_ivf(pts, nlist=32, nprobe=8, niter=15, dtype=jnp.float32)
+    k = 20
+    rv, ri = mips_topk_reference(jnp.asarray(queries), jnp.asarray(pts), k)
+    v, i = index.search(queries, k)
+    ri, i = np.asarray(ri), np.asarray(i)
+    recall = np.mean([len(set(ri[r]) & set(i[r])) / k for r in range(len(ri))])
+    assert recall > 0.8, recall
+    assert (np.diff(np.asarray(v), axis=1) <= 1e-5).all()
+
+
+def test_ivf_full_probe_exact(data):
+    """nprobe == nlist scans everything -> exact results."""
+    pts, queries = data
+    index = build_ivf(pts, nlist=16, nprobe=16, niter=10, capacity_factor=1.2,
+                      dtype=jnp.float32)
+    k = 10
+    rv, ri = mips_topk_reference(jnp.asarray(queries), jnp.asarray(pts), k)
+    v, i = index.search(queries, k)
+    recall = np.mean([
+        len(set(np.asarray(ri)[r]) & set(np.asarray(i)[r])) / k for r in range(len(queries))
+    ])
+    assert recall == 1.0
+
+
+def test_ivf_overflow_not_dropped():
+    """Tiny capacity forces overflow; those rows must still be findable."""
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((512, 16)).astype(np.float32)
+    index = build_ivf(pts, nlist=4, nprobe=1, niter=5, capacity_factor=0.25,
+                      dtype=jnp.float32)
+    assert index.overflow.shape[0] > 0
+    over_rows = set(int(r) for r in np.asarray(index.overflow_rows) if r >= 0)
+    # find queries whose EXACT top-1 lives in the overflow region; IVF must
+    # still return it (overflow is always scanned)
+    queries = rng.standard_normal((64, 16)).astype(np.float32)
+    _, exact1 = mips_topk_reference(jnp.asarray(queries), jnp.asarray(pts), 1)
+    exact1 = np.asarray(exact1)[:, 0]
+    hits = [qi for qi in range(64) if int(exact1[qi]) in over_rows]
+    assert hits, "test setup: no query resolved to an overflow row"
+    _, ivf1 = index.search(queries[hits], 1)
+    np.testing.assert_array_equal(np.asarray(ivf1)[:, 0], exact1[hits])
+
+
+def test_ivf_no_padding_indices(data):
+    pts, queries = data
+    index = build_ivf(pts, nlist=32, nprobe=4, niter=5, dtype=jnp.float32)
+    _, i = index.search(queries, 50)
+    assert (np.asarray(i) >= 0).all() and (np.asarray(i) < len(pts)).all()
