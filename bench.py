@@ -56,7 +56,8 @@ def main() -> None:
     queries = jax.device_put(jnp.asarray(xq, jnp.bfloat16))
 
     def search():
-        return mips_topk_pallas(queries, corpus, K, block=256, kb=128, q_chunk=256)
+        # tuned on v5e (see git history: block/kb/tile sweeps)
+        return mips_topk_pallas(queries, corpus, K, block=64, kb=80, q_chunk=512)
 
     # warmup/compile
     vals, idx = search()

@@ -237,14 +237,35 @@ def mips_topk(
 ):
     """Dispatch to the right search strategy for (k, N).
 
-    exact top-k is supported up to k<=512 via the block-max path; larger k
-    (QA top-5000) uses the streaming approx path (recall >= ~0.99, cf. the
-    reference's IVF nprobe=20). n_valid masks pre-padded corpus rows.
+    exact top-k is supported up to k<=512: on TPU with MXU-aligned shapes the
+    fused Pallas kernel (ops/pallas_mips.py) runs phase 1; otherwise the XLA
+    block-max path. Larger k (QA top-5000) uses the streaming approx path
+    (recall >= ~0.99, cf. the reference's IVF nprobe=20). n_valid masks
+    pre-padded corpus rows.
     """
     n = corpus.shape[0]
     if n <= 1 << 16:
         return mips_topk_reference(queries, corpus, min(k, n), n_valid=n_valid)
     if exact and k <= 512:
+        q = queries.shape[0]
+        d = queries.shape[1]
+        use_pallas = (
+            jax.default_backend() == "tpu" and d % 128 == 0 and not kw
+        )
+        if use_pallas:
+            from proqa_tpu.ops.pallas_mips import mips_topk_pallas
+
+            tile_q = 256
+            q_pad = (-q) % tile_q
+            if q_pad:
+                queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+            kb = max(k, 80) if k <= 80 else min(2 * k, 512)
+            vals, idx = mips_topk_pallas(
+                queries, corpus, k, block=64, kb=kb,
+                q_chunk=512 if queries.shape[0] % 512 == 0 else tile_q,
+                n_valid=n_valid,
+            )
+            return vals[:q], idx[:q]
         return mips_topk_blockmax(queries, corpus, k, n_valid=n_valid, **kw)
     return mips_topk_chunked_approx(queries, corpus, k, n_valid=n_valid, **kw)
 
