@@ -118,7 +118,9 @@ def cmd_pretrain_retriever(args):
             cluster_batch_order(train_ds, args.train_batch_size, rng)
             if is_cluster else grouped_shuffle_order(train_ds, rng)
         )
-        return BatchLoader(train_ds.batches(order, args.train_batch_size), prefetch=4)
+        return BatchLoader(
+            train_ds.batches(order, args.train_batch_size, drop_last=True), prefetch=4
+        )
 
     def eval_batches():
         return BatchLoader(

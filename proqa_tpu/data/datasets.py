@@ -73,15 +73,19 @@ class PairDataset:
         return {"input_ids_q": q_ids, "input_ids_c": c_ids}
 
     def batches(
-        self, order, batch_size: int, *, q_len: int | None = None, c_len: int | None = None
+        self, order, batch_size: int, *, q_len: int | None = None,
+        c_len: int | None = None, drop_last: bool = False,
     ) -> Iterator[dict]:
         """Collated static-shape numpy batches following `order`. Trailing
         partial batches are padded back to batch_size (true count in
-        "__rows__")."""
+        "__rows__") or dropped (drop_last=True — required for contrastive
+        training, where a padded duplicate row corrupts in-batch negatives)."""
         q_len = q_len or self.max_query_length
         c_len = c_len or self.max_c_length
         for start in range(0, len(order), batch_size):
             idxs = order[start : start + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                return
             items = [self[i] for i in idxs]
             batch = {
                 "input_ids_q": collate_tokens([it["input_ids_q"] for it in items], length=q_len),

@@ -233,9 +233,20 @@ def qa_loss(out: dict, batch: dict, qcfg: QAConfig) -> dict:
         total = joint_loss + early
         components = {"joint_loss": joint_loss, "early_loss": early}
 
-    # questions with no gold anywhere contribute only their early guard (0)
-    components["loss"] = jnp.mean(total)
-    components = {kk: (jnp.mean(vv) if vv.ndim else vv) for kk, vv in components.items()}
+    # questions with no gold anywhere contribute only their early guard (0);
+    # question_mask (optional, [B]) excludes batch-padding rows entirely
+    qmask = batch.get("question_mask")
+    if qmask is None:
+        components["loss"] = jnp.mean(total)
+        components = {kk: (jnp.mean(vv) if vv.ndim else vv) for kk, vv in components.items()}
+    else:
+        qmask = qmask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(qmask), 1.0)
+        components["loss"] = jnp.sum(total * qmask) / denom
+        components = {
+            kk: (jnp.sum(vv * qmask) / denom if vv.ndim else vv)
+            for kk, vv in components.items()
+        }
     return components
 
 

@@ -234,7 +234,10 @@ class QATrainer:
             for batch in train_sampler.load(
                 self.query_encoder(), t.train_k, t.questions_per_batch
             ):
-                net, _ = batch_pad(batch["net_input"], t.questions_per_batch)
+                net, rows = batch_pad(batch["net_input"], t.questions_per_batch)
+                net["question_mask"] = (
+                    np.arange(t.questions_per_batch) < rows
+                ).astype(np.int32)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, comp = self._train_step(
                     self.state, self._device_batch(net), step_rng
