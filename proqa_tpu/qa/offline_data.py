@@ -27,6 +27,24 @@ from proqa_tpu.text.squad import char_spans_of, find_answer_spans, prepare_conte
 # ---------------------------------------------------------------------------
 
 
+def load_topk_retrieval(path: str) -> dict:
+    """Precomputed top-k retrieval per question (reference
+    qa/datasets.py:271-296 top5k_generator): jsonl rows with question +
+    para_embed_idx + para_labels -> {qid: (row indices, binary labels)}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            item = json.loads(line)
+            qid = item.get("qid") or hash_question(item["question"])
+            out[qid] = (
+                np.asarray(item["para_embed_idx"], np.int32),
+                np.asarray(item["para_labels"], np.int32),
+            )
+    return out
+
+
 def load_mrqa_dataset(path: str) -> list[dict]:
     """MRQA-format jsonl (header line + {context, qas}) -> flat QA rows."""
     with open(path) as f:

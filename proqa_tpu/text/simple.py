@@ -68,3 +68,65 @@ class SimpleTokenizer:
 
     def shutdown(self):  # kept for pool-Finalize API compatibility
         pass
+
+
+class RegexpTokenizer:
+    """Rule-based tokenizer with token-type normalization (quotes/dashes/
+    ellipses), the DrQA RegexpTokenizer equivalent (reference
+    qa/basic_tokenizer.py:149-229). Requires the `regex` module."""
+
+    _DIGIT = r"\p{Nd}+([:\.\,]\p{Nd}+)*"
+    _TITLE = r"(dr|esq|hon|jr|mr|mrs|ms|prof|rev|sr|st|rt|messrs|mmes|msgr)\.(?=\p{Z})"
+    _ABBRV = r"([\p{L}]\.){2,}(?=\p{Z}|$)"
+    _ALPHA_NUM = r"[\p{L}\p{N}\p{M}]++"
+    _HYPHEN = rf"{_ALPHA_NUM}([-֊‐‑]{_ALPHA_NUM})+"
+    _NEGATION = r"((?!n't)[\p{L}\p{N}\p{M}])++(?=n't)|n't"
+    _CONTR1 = r"can(?=not\b)"
+    _CONTR2 = r"'([tsdm]|re|ll|ve)\b"
+    _START_DQ = r'(?<=[\p{Z}\(\[{<]|^)(``|["“«])(?!\p{Z})'
+    _START_SQ = r"(?<=[\p{Z}\(\[{<]|^)[\'‘‛‹](?!\p{Z})"
+    _END_DQ = r'(?<!\p{Z})(\'\'|["”»])'
+    _END_SQ = r"(?<!\p{Z})[\'’›]"
+    _DASH = r"--|[–—―]"
+    _ELLIPSES = r"\.\.\.|…"
+    _PUNCT = r"\p{P}"
+    _NON_WS = r"[^\p{Z}\p{C}]"
+
+    _SUBS = {
+        "sdquote": "``", "edquote": "''", "ssquote": "`", "esquote": "'",
+        "dash": "--", "ellipses": "...",
+    }
+
+    def __init__(self, substitutions: bool = True):
+        import regex as re_mod
+
+        self._regexp = re_mod.compile(
+            f"(?P<digit>{self._DIGIT})|(?P<title>{self._TITLE})|"
+            f"(?P<abbr>{self._ABBRV})|(?P<neg>{self._NEGATION})|"
+            f"(?P<hyph>{self._HYPHEN})|(?P<contr1>{self._CONTR1})|"
+            f"(?P<alphanum>{self._ALPHA_NUM})|(?P<contr2>{self._CONTR2})|"
+            f"(?P<sdquote>{self._START_DQ})|(?P<edquote>{self._END_DQ})|"
+            f"(?P<ssquote>{self._START_SQ})|(?P<esquote>{self._END_SQ})|"
+            f"(?P<dash>{self._DASH})|(?P<ellipses>{self._ELLIPSES})|"
+            f"(?P<punct>{self._PUNCT})|(?P<nonws>{self._NON_WS})",
+            flags=re_mod.IGNORECASE + re_mod.UNICODE + re_mod.MULTILINE,
+        )
+        self.substitutions = substitutions
+
+    def tokenize(self, text: str) -> Tokens:
+        matches = list(self._regexp.finditer(text))
+        toks = []
+        for i, m in enumerate(matches):
+            token = m.group()
+            if self.substitutions:
+                for group, sub in self._SUBS.items():
+                    if m.groupdict().get(group):
+                        token = sub
+                        break
+            start, end = m.span()
+            ws_end = matches[i + 1].span()[0] if i + 1 < len(matches) else end
+            toks.append(_Tok(token, text[start:ws_end], (start, end)))
+        return Tokens(toks)
+
+    def shutdown(self):
+        pass

@@ -43,3 +43,24 @@ def test_shard_layout(mesh):
     corpus = jnp.zeros((64, 4))
     sharded = shard_rows(mesh, corpus)
     assert len(sharded.sharding.device_set) == 8
+
+
+def test_dense_index_sharded(mesh):
+    """DenseIndex with a mesh: padding + id mapping + sharded search."""
+    import jax.numpy as jnp
+
+    from proqa_tpu.index import DenseIndex, IdMap
+
+    rng = np.random.default_rng(5)
+    n, d = 1000, 16  # deliberately not divisible by 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    index = DenseIndex.from_embeddings(
+        emb, IdMap.from_doc_ids([f"d{i}" for i in range(n)]),
+        mesh=mesh, dtype=jnp.float32, pad_multiple=8,
+    )
+    assert index.embeddings.shape[0] % 8 == 0
+    queries = rng.standard_normal((5, d)).astype(np.float32)
+    vals, idx, ids = index.search_ids(queries, 7)
+    ref_v, ref_i = mips_topk_reference(jnp.asarray(queries), jnp.asarray(emb), 7)
+    np.testing.assert_array_equal(idx, np.asarray(ref_i))
+    assert ids[0][0] == f"d{int(np.asarray(ref_i)[0,0])}"

@@ -212,3 +212,19 @@ class TestMetrics:
 
     def test_max_over_ground_truths(self):
         assert metric_max_over_ground_truths(exact_match_score, "a b", ["x", "A B."])
+
+
+class TestRegexpTokenizer:
+    def test_substitutions_and_spans(self):
+        from proqa_tpu.text.simple import RegexpTokenizer
+        rt = RegexpTokenizer()
+        toks = rt.tokenize('He said "hello" -- then... left')
+        words = toks.words()
+        assert "``" in words and "''" in words
+        assert "--" in words and "..." in words
+        assert rt.tokenize("can't stop").words(uncased=True)[:2] == ["ca", "n't"]
+
+    def test_digits_kept_whole(self):
+        from proqa_tpu.text.simple import RegexpTokenizer
+        rt = RegexpTokenizer()
+        assert "3.14" in rt.tokenize("pi is 3.14 ok").words()
