@@ -127,3 +127,24 @@ def test_param_count_scales(cfg):
     n = param_count(p)
     # embeddings + 2 layers + pooler for the tiny config
     assert n > cfg.vocab_size * cfg.hidden_size
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint over the layer scan must not change values or grads."""
+    base = BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0, attention_dropout=0.0)
+    remat = BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0,
+                            attention_dropout=0.0, remat=True)
+    params = init_bert_params(jax.random.PRNGKey(5), base)
+    ids, mask = _batch(base, np.random.default_rng(6), b=2, t=8)
+
+    def loss(p, cfg):
+        seq, pooled = bert_encoder(p, cfg, ids, mask)
+        return jnp.sum(pooled ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, base))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, remat))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        g1, g2,
+    )
