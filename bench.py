@@ -57,7 +57,9 @@ def main() -> None:
 
     def search():
         # tuned on v5e (see git history: block/kb/tile sweeps)
-        return mips_topk_pallas(queries, corpus, K, block=64, kb=80, q_chunk=512)
+        return mips_topk_pallas(
+            queries, corpus, K, block=64, kb=80, q_chunk=512, tile_q=512
+        )
 
     # warmup/compile
     vals, idx = search()

@@ -242,6 +242,14 @@ def _qa_setup(args):
         params["retriever"] = _load_params(
             args.retriever_path, init_retriever_params(jax.random.PRNGKey(0), cfg)
         )
+    if args.reader_path:
+        # pretrained reader tower (e.g. a converted SpanBERT — the reference's
+        # --use-spanbert path, bert_retrieve_qa.py:24-25; pair with --cased)
+        from proqa_tpu.models.bert import init_bert_params
+
+        params["bert"] = _load_params(
+            args.reader_path, init_bert_params(jax.random.PRNGKey(0), cfg)
+        )
     if args.init_checkpoint:
         params = _load_params(args.init_checkpoint, params)
     trainer = QATrainer(cfg, qcfg, tcfg, params=params)
@@ -392,6 +400,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output-dir", default="logs/qa")
         sp.add_argument("--init-checkpoint", default="")
         sp.add_argument("--retriever-path", default="")
+        sp.add_argument("--reader-path", default="",
+                        help="pretrained reader BERT (e.g. converted SpanBERT; use with --cased)")
         sp.add_argument("--train-batch-size", type=int, default=5, help="k paras/question")
         sp.add_argument("--questions-per-batch", type=int, default=1)
         sp.add_argument("--candidates", type=int, default=5000)

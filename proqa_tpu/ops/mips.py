@@ -255,13 +255,13 @@ def mips_topk(
         if use_pallas:
             from proqa_tpu.ops.pallas_mips import mips_topk_pallas
 
-            tile_q = 256
+            tile_q = 512 if q >= 512 else 256
             q_pad = (-q) % tile_q
             if q_pad:
                 queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
             kb = max(k, 80) if k <= 80 else min(2 * k, 512)
             vals, idx = mips_topk_pallas(
-                queries, corpus, k, block=64, kb=kb,
+                queries, corpus, k, block=64, kb=kb, tile_q=tile_q,
                 q_chunk=512 if queries.shape[0] % 512 == 0 else tile_q,
                 n_valid=n_valid,
             )

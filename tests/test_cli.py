@@ -152,3 +152,46 @@ def test_cli_convert_hf(world, tmp_path):
         "--torch-checkpoint", pt, "--kind", "bert", "--output", out,
     ])
     assert os.path.exists(out)
+
+
+def test_cli_qa_eval_and_finetune(world, capsys):
+    """finetune-qa/eval-qa wiring through the CLI on the tiny world (needs
+    the index built by the pipeline test)."""
+    import pytest as _pytest
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        _pytest.skip("index pipeline test must run first")
+    ckpt = str(world / "retriever_run" / "checkpoint_last.msgpack")
+    common = [
+        *_common(world),
+        "--predict-file", str(world / "qa.jsonl"),
+        "--db", str(world / "docs.db"),
+        "--index", str(world / "index"),
+        "--retriever-path", ckpt,
+        "--train-batch-size", "2",
+        "--questions-per-batch", "8",
+        "--candidates", "8",
+        "--eval-k", "2",
+        "--output-dir", str(world / "qa_run"),
+    ]
+    main(["eval-qa", *common])
+    em = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["em"]
+    assert 0.0 <= em <= 1.0
+
+    # one-epoch finetune with gold matching over the whole corpus
+    with open(world / "qa_matched.jsonl", "w") as f:
+        corpus = [json.loads(l) for l in open(world / "corpus.jsonl")]
+        for line in open(world / "qa.jsonl"):
+            qa = json.loads(line)
+            gold = {c["id"]: qa["answer"][0] for c in corpus
+                    if qa["answer"][0] in c["text"].split()}
+            f.write(json.dumps({"question": qa["question"], "matched_paras": gold}) + "\n")
+    main([
+        "finetune-qa", *common,
+        "--train-file", str(world / "qa.jsonl"),
+        "--matched-para-path", str(world / "qa_matched.jsonl"),
+        "--num-train-epochs", "1",
+        "--learning-rate", "1e-4",
+        "--shared-norm", "--fix-para-encoder",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best_em" in out
