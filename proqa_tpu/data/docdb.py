@@ -1,21 +1,32 @@
 """Sqlite paragraph store.
 
 Equivalent of the reference DocDB (/root/reference/retrieval/utils.py:68-105):
-a `documents(id PRIMARY KEY, text)` table (e.g. nq_paras.db). Adds a writer
-classmethod so tests and converters can build stores, and an LRU row cache for
-the QA online sampler's hot lookups.
+a `documents(id PRIMARY KEY, text)` table (e.g. nq_paras.db). Differences:
+thread-local connections (the reference shares one connection with
+check_same_thread=False and relies on fork-pool initializers to avoid races —
+qa/utils.py:84, eval_retrieval.py:19-24), an LRU row cache for the QA online
+sampler's hot lookups, and a writer classmethod for tests/converters.
 """
 from __future__ import annotations
 
 import sqlite3
+import threading
 from functools import lru_cache
 
 
 class DocDB:
     def __init__(self, db_path: str, cache_size: int = 1 << 16):
         self.path = db_path
-        self.connection = sqlite3.connect(db_path, check_same_thread=False)
+        self._local = threading.local()
         self._get_cached = lru_cache(maxsize=cache_size)(self._get_doc_text)
+        self._conn()  # fail fast on a bad path
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.path)
+            self._local.conn = conn
+        return conn
 
     def __enter__(self):
         return self
@@ -24,18 +35,21 @@ class DocDB:
         self.close()
 
     def close(self):
-        self.connection.close()
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None
 
     def get_doc_ids(self) -> list[str]:
-        cursor = self.connection.cursor()
-        cursor.execute("SELECT id FROM documents")
+        cursor = self._conn().execute("SELECT id FROM documents")
         ids = [r[0] for r in cursor.fetchall()]
         cursor.close()
         return ids
 
     def _get_doc_text(self, doc_id: str):
-        cursor = self.connection.cursor()
-        cursor.execute("SELECT text FROM documents WHERE id = ?", (doc_id,))
+        cursor = self._conn().execute(
+            "SELECT text FROM documents WHERE id = ?", (doc_id,)
+        )
         result = cursor.fetchone()
         cursor.close()
         return result if result is None else result[0]
@@ -44,8 +58,7 @@ class DocDB:
         return self._get_cached(doc_id)
 
     def __len__(self) -> int:
-        cursor = self.connection.cursor()
-        cursor.execute("SELECT COUNT(*) FROM documents")
+        cursor = self._conn().execute("SELECT COUNT(*) FROM documents")
         (n,) = cursor.fetchone()
         cursor.close()
         return n

@@ -167,3 +167,18 @@ def test_idmap_roundtrip(tmp_path):
     # reference format: string keys of row indices
     raw = json.load(open(p))
     assert raw["0"] == "d3"
+
+
+def test_docdb_thread_safety(tmp_path):
+    """Concurrent reads from many threads must be correct (thread-local
+    connections; the reference relied on fork-pool initializers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    db = DocDB.create(
+        str(tmp_path / "mt.db"), [(f"d{i}", f"text {i}") for i in range(200)]
+    )
+    def read(i):
+        return db.get_doc_text(f"d{i % 200}")
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(read, range(2000)))
+    assert all(r == f"text {i % 200}" for i, r in enumerate(results))
