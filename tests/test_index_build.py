@@ -1,0 +1,88 @@
+"""Index building + recall evaluation library-level tests (the §3.2/§3.3
+workloads without the CLI)."""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from proqa_tpu.data.datasets import EncodeDataset
+from proqa_tpu.data.docdb import DocDB
+from proqa_tpu.index import (
+    DenseIndex,
+    IdMap,
+    build_index,
+    encode_corpus,
+    recall_at_k,
+)
+from proqa_tpu.models.bert import BertConfig
+from proqa_tpu.models.retriever import encode_context, init_retriever_params
+
+
+class FakeTok:
+    def encode(self, text, max_length=None):
+        ids = [2] + [5 + (hash(w) % 100) for w in text.split()] + [3]
+        return ids[:max_length] if max_length else ids
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("build")
+    with open(root / "corpus.jsonl", "w") as f:
+        for i in range(23):
+            f.write(json.dumps({"text": f"para {i} words here", "id": f"p{i}"}) + "\n")
+    cfg = BertConfig.tiny(dtype=jnp.float32)
+    params = init_retriever_params(jax.random.PRNGKey(0), cfg, embed_dim=8)
+    return root, cfg, params
+
+
+def test_encode_corpus_matches_direct(setup):
+    root, cfg, params = setup
+    ds = EncodeDataset(FakeTok(), str(root / "corpus.jsonl"), max_length=12)
+    emb = encode_corpus(params, cfg, ds, batch_size=8)
+    assert emb.shape == (23, 8)
+    # row 0 equals a direct single encode
+    from proqa_tpu.data.collate import pad_to
+
+    ids = pad_to([ds[0]], 12)
+    direct = np.asarray(encode_context(
+        params, cfg, jnp.asarray(ids), jnp.asarray((ids != 0).astype(np.int32))
+    ))
+    np.testing.assert_allclose(emb[0], direct[0], atol=1e-5)
+
+
+def test_build_index_roundtrip(setup, tmp_path):
+    root, cfg, params = setup
+    index = build_index(
+        params, cfg, str(root / "corpus.jsonl"),
+        tokenizer=FakeTok(), max_length=12, batch_size=8,
+        dtype=jnp.float32, save_path=str(tmp_path / "idx"),
+    )
+    assert len(index) == 23
+    loaded = DenseIndex.load(str(tmp_path / "idx"), dtype=jnp.float32)
+    assert len(loaded) == 23
+    assert loaded.id_map[0] == "p0"
+    q = np.asarray(index.embeddings[:2], np.float32)
+    _, i1 = index.search(q, 3)
+    _, i2 = loaded.search(q, 3)
+    np.testing.assert_array_equal(i1, i2)
+    # index equals brute-force numpy search
+    emb = np.load(tmp_path / "idx" / "embeddings.npy")
+    want = np.argsort(-(q @ emb.T), axis=1)[:, :3]
+    np.testing.assert_array_equal(i1, want)
+
+
+def test_recall_at_k(tmp_path):
+    db = DocDB.create(str(tmp_path / "r.db"), [
+        ("a", "the answer is paris"),
+        ("b", "nothing relevant"),
+        ("c", "paris again here"),
+    ])
+    qa = [{"question": "q1", "answer": ["Paris"]}, {"question": "q2", "answer": ["zurich"]}]
+    retrieved = [["b", "a", "c"], ["a", "b", "c"]]
+    out = recall_at_k(qa, retrieved, db, ks=(1, 2, 3))
+    assert out[1] == 0.0      # q1 top-1 is 'b' (no), q2 has no match at all
+    assert out[2] == 0.5      # q1 covered at rank 2
+    assert out[3] == 0.5
