@@ -24,6 +24,9 @@ from proqa_tpu.parallel.mesh import DATA_AXIS
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+DEFAULT_BUCKETS = (64, 128, 192, 256, 384, 512)
+
+
 def encode_corpus(
     params,
     cfg: BertConfig,
@@ -34,8 +37,15 @@ def encode_corpus(
     mesh=None,
     prefetch: int = 4,
     progress: bool = False,
+    buckets: tuple | None = DEFAULT_BUCKETS,
 ) -> np.ndarray:
-    """Encode every row of the dataset; returns [N, D] float32 host array."""
+    """Encode every row of the dataset; returns [N, D] float32 host array.
+
+    With `buckets`, rows are length-sorted and padded to the smallest fitting
+    bucket (few compiled signatures, 3-4x less padding waste at corpus scale
+    — measured 634 paras/s at pad-512 vs 3272 at pad-128 on v5e); outputs are
+    written back in original row order.
+    """
     encode = encode_query if is_query else encode_context
 
     fn = lambda p, ids, mask: encode(p, cfg, ids, mask)
@@ -46,15 +56,48 @@ def encode_corpus(
     else:
         jfn = jax.jit(fn)
 
-    out: list[np.ndarray] = []
-    loader = BatchLoader(dataset.batches(batch_size), prefetch=prefetch)
-    for i, batch in enumerate(loader):
-        rows = batch["__rows__"]
+    n = len(dataset)
+
+    if buckets is None:
+        out: list[np.ndarray] = []
+        loader = BatchLoader(dataset.batches(batch_size), prefetch=prefetch)
+        for i, batch in enumerate(loader):
+            rows = batch["__rows__"]
+            emb = jfn(params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["input_mask"]))
+            out.append(np.asarray(emb, np.float32)[:rows])
+            if progress and i % 50 == 0:
+                print(f"encoded {sum(o.shape[0] for o in out)} / {n}", flush=True)
+        return np.concatenate(out, axis=0)
+
+    from proqa_tpu.data.collate import batch_pad, collate_tokens
+
+    buckets = tuple(b for b in buckets if b <= dataset.max_len)
+    if not buckets or buckets[-1] < dataset.max_len:
+        buckets = buckets + (dataset.max_len,)
+
+    ids_all = [dataset[i] for i in range(n)]  # host tokenization (native path)
+    order = np.argsort([len(x) for x in ids_all], kind="stable")
+
+    def gen():
+        for start in range(0, n, batch_size):
+            sel = order[start : start + batch_size]
+            ids = collate_tokens([ids_all[i] for i in sel], buckets=buckets)
+            batch = {"input_ids": ids, "input_mask": (ids != 0).astype(np.int32)}
+            batch, rows = batch_pad(batch, batch_size)
+            yield sel, batch, rows
+
+    out_arr: np.ndarray | None = None
+    done = 0
+    for sel, batch, rows in BatchLoader(gen(), prefetch=prefetch):
         emb = jfn(params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["input_mask"]))
-        out.append(np.asarray(emb, np.float32)[:rows])
-        if progress and i % 50 == 0:
-            print(f"encoded {sum(o.shape[0] for o in out)} / {len(dataset)}", flush=True)
-    return np.concatenate(out, axis=0)
+        emb = np.asarray(emb, np.float32)[:rows]
+        if out_arr is None:
+            out_arr = np.empty((n, emb.shape[1]), np.float32)
+        out_arr[sel] = emb
+        done += rows
+        if progress and done % (50 * batch_size) < batch_size:
+            print(f"encoded {done} / {n}", flush=True)
+    return out_arr if out_arr is not None else np.empty((0, 0), np.float32)
 
 
 def build_index(

@@ -86,3 +86,13 @@ def test_recall_at_k(tmp_path):
     assert out[1] == 0.0      # q1 top-1 is 'b' (no), q2 has no match at all
     assert out[2] == 0.5      # q1 covered at rank 2
     assert out[3] == 0.5
+
+
+def test_encode_corpus_bucketed_order_preserved(setup):
+    """Length-bucketed encoding must return embeddings in original row order
+    and match the unbucketed path."""
+    root, cfg, params = setup
+    ds = EncodeDataset(FakeTok(), str(root / "corpus.jsonl"), max_length=12)
+    plain = encode_corpus(params, cfg, ds, batch_size=8, buckets=None)
+    bucketed = encode_corpus(params, cfg, ds, batch_size=8, buckets=(4, 8, 12))
+    np.testing.assert_allclose(bucketed, plain, atol=1e-5)
