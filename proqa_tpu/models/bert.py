@@ -41,6 +41,10 @@ class BertConfig:
                          # (jax.checkpoint over the layer scan; trades ~30%
                          # FLOPs for O(1)-in-depth activation memory, the TPU
                          # analogue of the reference's apex O1 memory savings)
+    flash_attention: bool = False  # fused Pallas flash-attention kernel
+                                   # (padding handled via segment ids; NOTE:
+                                   # attention-prob dropout is not applied on
+                                   # this path). Requires TPU and seq % 128 == 0.
 
     @property
     def head_dim(self) -> int:
@@ -138,7 +142,7 @@ def _dropout(x: jax.Array, rate: float, rng, deterministic: bool) -> jax.Array:
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic):
+def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic, segments=None):
     b, t, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
@@ -148,6 +152,22 @@ def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic):
     q = heads(_dense(x, p["q"]))
     k = heads(_dense(x, p["k"]))
     v = heads(_dense(x, p["v"]))
+
+    # flash kernel needs block-divisible sequence lengths; other shapes fall
+    # back to the vanilla path transparently
+    if cfg.flash_attention and segments is not None and t % 128 == 0:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention,
+        )
+
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3),  # [B, H, T, D]
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=SegmentIds(q=segments, kv=segments),
+            sm_scale=1.0 / math.sqrt(hd),
+        ).transpose(0, 2, 1, 3)
+        return _dense(ctx.reshape(b, t, h).astype(x.dtype), p["attn_out"])
 
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd) + mask_bias  # fp32
@@ -192,12 +212,15 @@ def bert_encoder(
 
     # Additive attention bias in fp32: 0 where attended, -1e30 where masked.
     mask_bias = jnp.where(attention_mask[:, None, None, :] != 0, 0.0, -1e30).astype(jnp.float32)
+    # flash path: padding isolated via segment ids (pad tokens form their own
+    # segment and can never attend to / be attended by real tokens)
+    segments = (attention_mask != 0).astype(jnp.int32) if cfg.flash_attention else None
 
     layer_rngs = jax.random.split(dropout_rng, cfg.num_layers * 3).reshape(cfg.num_layers, 3, -1)
 
     def layer_body(x, scanned):
         layer_p, rngs = scanned
-        attn = _attention(x, mask_bias, layer_p, cfg, rngs[0], deterministic)
+        attn = _attention(x, mask_bias, layer_p, cfg, rngs[0], deterministic, segments)
         attn = _dropout(attn, cfg.hidden_dropout, rngs[1], deterministic)
         x = _layer_norm(x + attn, layer_p["attn_ln"], cfg.layer_norm_eps)
         mlp = _dense(x, layer_p["mlp_in"])
