@@ -45,6 +45,8 @@ class OnlineSamplerConfig:
     regex: bool = False          # CuratedTrec answers are regexes
     question_batch: int = 8      # questions encoded/searched per device call
     exact_search: bool = False   # exact MIPS (eval) vs approx (train, M=5000)
+    num_workers: int = 0         # host threads for span matching/tensorizing
+                                 # (replaces the reference's fork pools)
 
 
 class OnlineSampler:
@@ -244,8 +246,15 @@ class OnlineSampler:
             group = self.qa_data[group_start : group_start + B]
             questions = [qa["question"] for qa in group]
             q_ids, rows, para_embeds = self._retrieve(questions, query_encoder)
-            for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
-                ex = self._build_train_example(qa, qi, rr, pe)
+            work = list(zip(group, q_ids, rows, para_embeds))
+            if self.cfg.num_workers > 0:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.cfg.num_workers) as pool:
+                    built = list(pool.map(lambda w: self._build_train_example(*w), work))
+            else:
+                built = [self._build_train_example(*w) for w in work]
+            for ex in built:
                 if ex is None:
                     self.failed_retrieval += 1
                     continue

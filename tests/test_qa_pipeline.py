@@ -84,7 +84,7 @@ def world(tmp_path_factory):
 def scfg():
     return OnlineSamplerConfig(
         max_query_length=12, max_length=48, candidates=16, max_spans=8,
-        question_batch=4, exact_search=True,
+        question_batch=4, exact_search=True, num_workers=2,
     )
 
 
