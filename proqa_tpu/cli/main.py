@@ -221,6 +221,13 @@ def _qa_setup(args):
         shared_norm=args.shared_norm, separate=args.separate,
         add_select=args.add_select, drop_early=args.drop_early, qa_drop=args.qa_drop,
     )
+    # the question batch shards over the data mesh: round up to a multiple
+    n_dev = len(jax.devices())
+    qpb = -(-args.questions_per_batch // n_dev) * n_dev
+    if qpb != args.questions_per_batch:
+        print(f"questions-per-batch {args.questions_per_batch} -> {qpb} "
+              f"(multiple of {n_dev} devices)")
+    args.questions_per_batch = qpb
     tcfg = QATrainerConfig(
         learning_rate=args.learning_rate,
         num_train_epochs=args.num_train_epochs,

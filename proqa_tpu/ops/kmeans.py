@@ -138,6 +138,9 @@ def kmeans(
     init: "kmeans++" | "random" | "auto" (++ for k <= 1024, else random —
     matching FAISS's random sampling at corpus-clustering scale).
     """
+    # bound the [chunk, k] score matrix to ~256MB f32 (k=10000 corpus-scale
+    # clustering would otherwise materialize multi-GB score chunks)
+    chunk = min(chunk, max(1024, (1 << 26) // max(k, 1)))
     n = data.shape[0]
     train = data
     if max_points_per_centroid is not None and n > k * max_points_per_centroid:
