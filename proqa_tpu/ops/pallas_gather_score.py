@@ -1,0 +1,96 @@
+"""Pallas streaming candidate-block scorer (MIPS phase 2).
+
+XLA's gather of each query's top-kb candidate blocks materializes a
+[Q, kb, block, D] intermediate and re-reads it for scoring (~15ms of the
+exact-search budget at Q=2048). This kernel streams the blocks instead:
+block ids arrive via scalar prefetch, the pipeline DMAs each (block, D) slab
+HBM->VMEM double-buffered, and scores are reduced in VMEM — HBM traffic is
+exactly one read of the candidate slabs plus the small score output.
+
+Grid: (Q/QB, kb/JB); each step handles QB queries x JB candidate blocks via
+QB*JB input refs over the same blocked corpus with per-ref index maps (a
+Pallas idiom for data-dependent multi-gather). Output is column-major
+[kb*block, Q] so score vectors land in their natural sublane layout.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ids_ref, qt_ref, *refs, qb: int, jb: int, block: int):
+    out_ref = refs[-1]
+    c_refs = refs[:-1]
+    for jj in range(jb):
+        for qi in range(qb):
+            c = c_refs[jj * qb + qi][0]            # [block, D]
+            q = qt_ref[:, qi]                      # [D]
+            s = jnp.sum(
+                c.astype(jnp.float32) * q.astype(jnp.float32)[None, :], axis=1
+            )                                      # [block] (sublanes)
+            out_ref[pl.ds(jj * block, block), qi] = s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "qb", "jb", "interpret")
+)
+def gather_score(
+    queries: jax.Array,      # [Q, D]
+    corpus_blocked: jax.Array,  # [NB, block, D]
+    block_ids: jax.Array,    # [Q, kb] int32
+    *,
+    block: int,
+    qb: int = 8,
+    jb: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Scores of every row of each query's candidate blocks.
+
+    Returns [Q, kb*block] f32 where out[q, j*block+b] =
+    corpus[block_ids[q, j]*block + b] . queries[q].
+    Requires Q % qb == 0 and kb % jb == 0.
+    """
+    q, d = queries.shape
+    nb, blk, d2 = corpus_blocked.shape
+    kb = block_ids.shape[1]
+    assert blk == block and d2 == d
+    assert q % qb == 0 and kb % jb == 0
+
+    qt = queries.T  # [D, Q]
+    grid = (q // qb, kb // jb)
+
+    def make_index_map(qi, jj):
+        return lambda i, j, ids: (ids[i * qb + qi, j * jb + jj], 0, 0)
+
+    c_specs = [
+        pl.BlockSpec((1, block, d), make_index_map(qi, jj), memory_space=pltpu.VMEM)
+        for jj in range(jb)
+        for qi in range(qb)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, qb), lambda i, j, ids: (0, i), memory_space=pltpu.VMEM),
+            *c_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (jb * block, qb), lambda i, j, ids: (j, i), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, qb=qb, jb=jb, block=block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kb * block, q), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * kb * block * d,
+            bytes_accessed=q * kb * block * d * corpus_blocked.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_ids, qt, *([corpus_blocked] * (qb * jb)))
+    return out.T  # [Q, kb*block]
