@@ -9,8 +9,9 @@ exactly one read of the candidate slabs plus the small score output.
 
 Grid: (Q/QB, kb/JB); each step handles QB queries x JB candidate blocks via
 QB*JB input refs over the same blocked corpus with per-ref index maps (a
-Pallas idiom for data-dependent multi-gather). Output is column-major
-[kb*block, Q] so score vectors land in their natural sublane layout.
+Pallas idiom for data-dependent multi-gather). Per candidate block an NT
+matmul scores all QB queries (MXU is free here — the kernel is DMA-bound)
+and the owning query's row is written lane-major.
 """
 from __future__ import annotations
 
@@ -21,18 +22,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_NT = (((1,), (1,)), ((), ()))  # contract last dims: [QB,D] x [block,D] -> [QB,block]
 
-def _kernel(ids_ref, qt_ref, *refs, qb: int, jb: int, block: int):
+
+def _kernel(ids_ref, q_ref, *refs, qb: int, jb: int, block: int):
     out_ref = refs[-1]
     c_refs = refs[:-1]
+    q = q_ref[:]                                   # [QB, D]
     for jj in range(jb):
         for qi in range(qb):
             c = c_refs[jj * qb + qi][0]            # [block, D]
-            q = qt_ref[:, qi]                      # [D]
-            s = jnp.sum(
-                c.astype(jnp.float32) * q.astype(jnp.float32)[None, :], axis=1
-            )                                      # [block] (sublanes)
-            out_ref[pl.ds(jj * block, block), qi] = s
+            s = jax.lax.dot_general(
+                q, c, _NT, preferred_element_type=jnp.float32
+            )                                      # [QB, block]
+            out_ref[qi, pl.ds(jj * block, block)] = s[qi, :]
 
 
 @functools.partial(
@@ -59,8 +62,8 @@ def gather_score(
     kb = block_ids.shape[1]
     assert blk == block and d2 == d
     assert q % qb == 0 and kb % jb == 0
+    assert (jb * block) % 128 == 0, "output tile lane dim must be 128-aligned"
 
-    qt = queries.T  # [D, Q]
     grid = (q // qb, kb // jb)
 
     def make_index_map(qi, jj):
@@ -75,22 +78,21 @@ def gather_score(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((d, qb), lambda i, j, ids: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, d), lambda i, j, ids: (i, 0), memory_space=pltpu.VMEM),
             *c_specs,
         ],
         out_specs=pl.BlockSpec(
-            (jb * block, qb), lambda i, j, ids: (j, i), memory_space=pltpu.VMEM
+            (qb, jb * block), lambda i, j, ids: (i, j), memory_space=pltpu.VMEM
         ),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, qb=qb, jb=jb, block=block),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kb * block, q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((q, kb * block), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * kb * block * d,
             bytes_accessed=q * kb * block * d * corpus_blocked.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_ids, qt, *([corpus_blocked] * (qb * jb)))
-    return out.T  # [Q, kb*block]
+    )(block_ids, queries, *([corpus_blocked] * (qb * jb)))
