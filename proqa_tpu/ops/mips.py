@@ -202,6 +202,8 @@ def mips_topk_chunked_approx(
     Memory: O(Q * (chunk + k)); never materializes [Q, N].
     """
     q, d = queries.shape
+    # don't pad small corpora up to a huge chunk
+    chunk = min(chunk, 1 << max(corpus.shape[0] - 1, 1).bit_length())
     corpus, n_unpadded = _pad_rows(corpus, chunk)
     if n_valid is None:
         n_valid = n_unpadded
@@ -244,7 +246,9 @@ def mips_topk(
     pre-padded corpus rows.
     """
     n = corpus.shape[0]
-    if n <= 1 << 16:
+    # naive path only while a full [Q, N] top_k is cheap (XLA TopK degrades
+    # fast: ~56ms at [2048, 65536] on v5e)
+    if n <= 4096 or n <= 4 * k:
         return mips_topk_reference(queries, corpus, min(k, n), n_valid=n_valid)
     if exact and k <= 512:
         q = queries.shape[0]
