@@ -63,6 +63,8 @@ class QATrainerConfig:
     max_answer_len: int = 10
     seed: int = 3
     output_dir: str = "logs/qa"
+    fast_prng: bool = True  # TPU hardware RNG for dropout masks (see
+                            # RetrieverTrainerConfig.fast_prng)
 
 
 class QATrainer:
@@ -86,6 +88,8 @@ class QATrainer:
         )
         self.logger = setup_logger("proqa.qa", f"{tcfg.output_dir}/log.txt")
         self.metrics = MetricLogger(f"{tcfg.output_dir}/metrics.jsonl")
+        if tcfg.fast_prng:
+            jax.config.update("jax_default_prng_impl", "rbg")
         self.rng = jax.random.PRNGKey(tcfg.seed)
 
         if params is None:

@@ -115,12 +115,12 @@ def test_training_learns_and_shards(tmp_path, eight_devices):
     batch = _toy_batches(lcfg, 1, 16)[0]
 
     losses = []
-    for _ in range(120):
+    for _ in range(200):
         trainer.rng, r = jax.random.split(trainer.rng)
         trainer.state, m = trainer._train_step(trainer.state, trainer._device_batch(batch), r)
         losses.append(float(m["loss"]))
     assert losses[-1] < 1.0, (losses[0], losses[-1])
-    assert int(trainer.state.step) == 120
+    assert int(trainer.state.step) == 200
 
     b = dict(batch)
     b["__rows__"] = 16
