@@ -326,6 +326,25 @@ def cmd_convert_msmarco(args):
     print(json.dumps({"qa_pairs": n}))
 
 
+def cmd_build_db(args):
+    """{"text", ["id"]} jsonl corpus -> sqlite document store (the nq_paras.db
+    artifact the reference assumes pre-built)."""
+    import json as _json
+
+    from proqa_tpu.data.docdb import DocDB
+
+    def rows():
+        with open(args.corpus) as f:
+            for i, line in enumerate(f):
+                if not line.strip():
+                    continue
+                row = _json.loads(line)
+                yield str(row.get("id", i)), row["text"]
+
+    db = DocDB.create(args.db, rows())
+    print(json.dumps({"documents": len(db), "db": args.db}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="proqa", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -446,6 +465,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_convert_msmarco)
+
+    sp = sub.add_parser("build-db")
+    sp.add_argument("--corpus", required=True, help='{"text", ["id"]} jsonl')
+    sp.add_argument("--db", required=True, help="output sqlite path")
+    sp.set_defaults(fn=cmd_build_db)
 
     return p
 

@@ -195,3 +195,13 @@ def test_cli_qa_eval_and_finetune(world, capsys):
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "best_em" in out
+
+
+def test_cli_build_db(world, capsys, tmp_path):
+    main(["build-db", "--corpus", str(world / "corpus.jsonl"),
+          "--db", str(tmp_path / "built.db")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["documents"] == 40
+    from proqa_tpu.data.docdb import DocDB
+    db = DocDB(str(tmp_path / "built.db"))
+    assert db.get_doc_text("p3").startswith("tok3")

@@ -182,3 +182,22 @@ def test_docdb_thread_safety(tmp_path):
     with ThreadPoolExecutor(8) as pool:
         results = list(pool.map(read, range(2000)))
     assert all(r == f"text {i % 200}" for i, r in enumerate(results))
+
+
+def test_step_timer_and_metric_logger(tmp_path):
+    import time as _time
+    from proqa_tpu.utils.logging import MetricLogger
+    from proqa_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            _time.sleep(0.001)
+    s = t.summary()
+    assert s["mean_s"] > 0 and s["steps_per_s"] > 0
+
+    ml = MetricLogger(str(tmp_path / "m.jsonl"))
+    ml.scalar("x", 1.5, 3)
+    ml.close()
+    row = json.loads(open(tmp_path / "m.jsonl").read().strip())
+    assert row == {**row, "tag": "x", "value": 1.5, "step": 3}
