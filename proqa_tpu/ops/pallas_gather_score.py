@@ -12,6 +12,11 @@ QB*JB input refs over the same blocked corpus with per-ref index maps (a
 Pallas idiom for data-dependent multi-gather). Per candidate block an NT
 matmul scores all QB queries (MXU is free here — the kernel is DMA-bound)
 and the owning query's row is written lane-major.
+
+STATUS: experimental — correct (interpreter-tested), but the scalar-prefetch
+multi-ref program currently hits pathological remote-compile times on this
+toolchain, so the default exact search keeps the XLA gather for phase 2
+(~16 ms on-device at Q=2048, kb=80, block=64).
 """
 from __future__ import annotations
 
