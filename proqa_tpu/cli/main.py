@@ -287,7 +287,7 @@ def cmd_finetune_qa(args):
 
 def cmd_eval_qa(args):
     trainer, make_sampler = _qa_setup(args)
-    em = trainer.predict(make_sampler(args.predict_file))
+    em = trainer.predict(make_sampler(args.predict_file), save_path=args.save_pred or None)
     print(json.dumps({"em": em}))
 
 
@@ -444,6 +444,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--fix-para-encoder", action="store_true")
         sp.add_argument("--regex", action="store_true")
         sp.add_argument("--approx-search", action="store_true")
+        sp.add_argument("--save-pred", default="", help="write best-alpha predictions jsonl")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("convert-hf")

@@ -175,8 +175,12 @@ class QATrainer:
 
     # -------------------- evaluation --------------------
 
-    def predict(self, sampler) -> float:
-        """Full EM eval with the rank/span linear-combination sweep."""
+    def predict(self, sampler, save_path: str | None = None) -> float:
+        """Full EM eval with the rank/span linear-combination sweep.
+
+        save_path: optional jsonl of the best-alpha top predictions
+        (reference --save-pred/--save-all, train_retrieve_qa.py:359-364,391-394).
+        """
         t = self.tcfg
         qid2results: dict[str, list[Prediction]] = collections.defaultdict(list)
         qid2ground: dict[str, list] = {}
@@ -217,14 +221,27 @@ class QATrainer:
                     ))
 
         match_fn = regex_match_score if t.regex else exact_match_score
-        best_em = 0.0
+        best_em, best_rows = 0.0, []
         for alpha in ALPHA_GRID:
-            ems = []
+            ems, rows = [], []
             for qid, preds in qid2results.items():
                 top = max(preds, key=lambda x: alpha * x.span_score + (1 - alpha) * x.rank_score)
-                ems.append(metric_max_over_ground_truths(match_fn, top.text, qid2ground[qid]))
+                em_i = metric_max_over_ground_truths(match_fn, top.text, qid2ground[qid])
+                ems.append(em_i)
+                rows.append({
+                    "question": top.question, "para": top.passage, "answer": top.text,
+                    "rank_score": top.rank_score, "span_score": top.span_score,
+                    "gold": qid2ground[qid], "em": float(em_i), "alpha": alpha,
+                })
             em = float(np.mean(ems)) if ems else 0.0
-            best_em = max(best_em, em)
+            if em >= best_em:
+                best_em, best_rows = em, rows
+        if save_path:
+            import json
+
+            with open(save_path, "w") as f:
+                for row in best_rows:
+                    f.write(json.dumps(row) + "\n")
         return best_em
 
     # -------------------- training --------------------

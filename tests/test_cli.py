@@ -173,9 +173,11 @@ def test_cli_qa_eval_and_finetune(world, capsys):
         "--eval-k", "2",
         "--output-dir", str(world / "qa_run"),
     ]
-    main(["eval-qa", *common])
+    main(["eval-qa", *common, "--save-pred", str(world / "preds.jsonl")])
     em = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["em"]
     assert 0.0 <= em <= 1.0
+    preds = [json.loads(l) for l in open(world / "preds.jsonl")]
+    assert len(preds) == 8 and {"question", "answer", "gold", "em"} <= set(preds[0])
 
     # one-epoch finetune with gold matching over the whole corpus
     with open(world / "qa_matched.jsonl", "w") as f:
