@@ -263,6 +263,9 @@ def _qa_setup(args):
 
     db = DocDB(args.db)
     index = DenseIndex.load(args.index)
+    if args.use_ivf:
+        # reference online-QA retrieval config (IVF nlist=100, nprobe=20)
+        index = index.to_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
     scfg = OnlineSamplerConfig(
         max_query_length=args.max_query_length,
         max_length=args.max_seq_length,
@@ -444,6 +447,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--fix-para-encoder", action="store_true")
         sp.add_argument("--regex", action="store_true")
         sp.add_argument("--approx-search", action="store_true")
+        sp.add_argument("--use-ivf", action="store_true",
+                        help="IVF coarse-quantized online retrieval (reference default)")
+        sp.add_argument("--ivf-nlist", type=int, default=100)
+        sp.add_argument("--ivf-nprobe", type=int, default=20)
         sp.add_argument("--save-pred", default="", help="write best-alpha predictions jsonl")
         sp.set_defaults(fn=fn)
 

@@ -2,7 +2,7 @@
 plus index building, recall evaluation, corpus clustering, and IVF."""
 
 from proqa_tpu.index.idmap import IdMap
-from proqa_tpu.index.dense import DenseIndex
+from proqa_tpu.index.dense import DenseIndex, IVFDenseIndex
 from proqa_tpu.index.build import build_index, encode_corpus
 from proqa_tpu.index.cluster import cluster_corpus_embeddings, write_cluster_shards
 from proqa_tpu.index.ivf import IVFIndex, build_ivf
@@ -10,6 +10,7 @@ from proqa_tpu.index.recall import evaluate_retrieval, recall_at_k
 
 __all__ = [
     "DenseIndex",
+    "IVFDenseIndex",
     "IVFIndex",
     "IdMap",
     "build_index",

@@ -123,3 +123,38 @@ class DenseIndex:
             emb_path, id_map = path, None
         emb = np.load(emb_path)
         return cls.from_embeddings(emb, id_map, mesh=mesh, dtype=dtype)
+
+    def to_ivf(self, *, nlist: int = 100, nprobe: int = 20, niter: int = 20,
+               seed: int = 0, **kw) -> "IVFDenseIndex":
+        """Train an IVF coarse quantizer over this index (the reference's
+        online-QA configuration: nlist=100, nprobe=20 —
+        qa/online_sampler.py:75-79)."""
+        from proqa_tpu.index.ivf import build_ivf
+
+        host = np.asarray(self.embeddings[: self.n], np.float32)
+        ivf = build_ivf(host, nlist=nlist, nprobe=nprobe, niter=niter, seed=seed,
+                        dtype=self.embeddings.dtype, **kw)
+        return IVFDenseIndex(
+            embeddings=self.embeddings, n=self.n, id_map=self.id_map,
+            mesh=self.mesh, ivf=ivf,
+        )
+
+
+@dataclass
+class IVFDenseIndex(DenseIndex):
+    """DenseIndex whose searches go through an IVF coarse quantizer
+    (approximate, per-query cost ~ nprobe/nlist of the corpus) while keeping
+    the dense matrix for embedding gathers (`take`) and persistence."""
+
+    ivf: object = None
+
+    def search(self, queries, k: int, *, exact: bool = False, q_pad: int = 256, **kw):
+        if exact:  # explicit exact request bypasses the quantizer
+            return super().search(queries, k, exact=True, q_pad=q_pad, **kw)
+        q = jnp.asarray(queries, dtype=self.embeddings.dtype)
+        vals, idx = self.ivf.search(q, min(k, self.n))
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if vals.shape[1] < k:
+            vals = np.pad(vals, ((0, 0), (0, k - vals.shape[1])), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, k - idx.shape[1])))
+        return vals, idx

@@ -71,3 +71,26 @@ def test_ivf_no_padding_indices(data):
     index = build_ivf(pts, nlist=32, nprobe=4, niter=5, dtype=jnp.float32)
     _, i = index.search(queries, 50)
     assert (np.asarray(i) >= 0).all() and (np.asarray(i) < len(pts)).all()
+
+
+def test_ivf_dense_index_adapter(data):
+    """DenseIndex.to_ivf: online-sampler-compatible search API over the IVF
+    structure, with exact bypass and embedding gathers intact."""
+    import jax.numpy as jnp
+
+    from proqa_tpu.index import DenseIndex, IdMap
+
+    pts, queries = data
+    dense = DenseIndex.from_embeddings(
+        pts, IdMap.from_doc_ids([f"d{i}" for i in range(len(pts))]),
+        dtype=jnp.float32, pad_multiple=8,
+    )
+    ivf = dense.to_ivf(nlist=16, nprobe=16, niter=8)
+    # full probe == exact
+    v1, i1 = ivf.search(queries, 10)
+    v2, i2 = ivf.search(queries, 10, exact=True)
+    assert np.mean([len(set(i1[r]) & set(i2[r])) / 10 for r in range(len(queries))]) == 1.0
+    # take() still serves the rank head
+    emb = ivf.take(i1[0])
+    assert emb.shape == (10, pts.shape[1])
+    assert ivf.id_map.rows_to_ids(i1[0][:2])[0].startswith("d")
