@@ -201,3 +201,13 @@ def test_process_ground_paras(world, tmp_path):
     qa0 = rows[0]
     assert any(qa0["answer"][0] in (v if isinstance(v, str) else " ".join(v))
                for v in qa0["matched_paras"].values())
+
+
+def test_sampler_shuffle_deterministic(world, scfg):
+    s1 = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], scfg)
+    s2 = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], scfg)
+    s1.shuffle(seed=5)
+    s2.shuffle(seed=5)
+    assert [q["question"] for q in s1.qa_data] == [q["question"] for q in s2.qa_data]
+    s2.shuffle(seed=6)
+    assert [q["question"] for q in s1.qa_data] != [q["question"] for q in s2.qa_data]

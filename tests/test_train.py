@@ -175,3 +175,29 @@ def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
     trainer2 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
     trainer2.resume(str(tmp_path / "run" / "checkpoint_last.msgpack"))
     assert int(trainer2.state.step) == 12
+
+
+def test_resume_continues_training(tmp_path, cfg):
+    """Full-state resume: a resumed trainer must continue stepping with the
+    restored optimizer state (not restart momentum from zero)."""
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=1e-3, eval_period=10_000, save_checkpoints_steps=10_000,
+        output_dir=str(tmp_path / "a"), seed=4,
+    )
+    t1 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    batch = _toy_batches(cfg, 1, 16)[0]
+    for _ in range(3):
+        t1.rng, r = jax.random.split(t1.rng)
+        t1.state, _ = t1._train_step(t1.state, t1._device_batch(batch), r)
+    t1.save("checkpoint_last")
+
+    t2 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    t2.resume(str(tmp_path / "a" / "checkpoint_last.msgpack"))
+    assert int(t2.state.step) == 3
+    # adam moments present and nonzero after restore
+    mus = [np.asarray(x) for x in jax.tree.leaves(t2.state.opt_state) if hasattr(x, "shape")]
+    assert any(np.abs(m).sum() > 0 for m in mus if m.ndim > 0)
+    t2.rng, r = jax.random.split(t2.rng)
+    t2.state, m = t2._train_step(t2.state, t2._device_batch(batch), r)
+    assert int(t2.state.step) == 4 and np.isfinite(float(m["loss"]))
