@@ -71,6 +71,10 @@ def evaluate_retrieval(
     """Search + recall scoring. query_embeds: [Q, D] (pre-encoded queries,
     row-aligned with qa_path)."""
     qa_pairs = load_qa_pairs(qa_path)
-    assert len(qa_pairs) == query_embeds.shape[0]
+    assert len(qa_pairs) == query_embeds.shape[0], (
+        f"{len(qa_pairs)} QA pairs in {qa_path} but {query_embeds.shape[0]} "
+        "query embeddings — rows must align"
+    )
+    ks = tuple(k for k in ks if k <= topk) or (topk,)
     _, _, ids = index.search_ids(query_embeds, topk)
     return recall_at_k(qa_pairs, ids, db, ks=ks, num_workers=num_workers)
