@@ -167,13 +167,34 @@ def cmd_encode_queries(args):
 
 
 def cmd_eval_retrieval(args):
+    import jax
+
     from proqa_tpu.data.docdb import DocDB
     from proqa_tpu.index.dense import DenseIndex
     from proqa_tpu.index.recall import evaluate_retrieval
 
     index = DenseIndex.load(args.index)
     db = DocDB(args.db)
-    q = np.load(args.query_embed)
+    if args.query_embed.endswith(".npy"):
+        q = np.load(args.query_embed)
+    else:
+        # raw {"question"} jsonl: encode on the fly (needs --vocab/--init-checkpoint)
+        assert args.vocab and args.init_checkpoint, (
+            "encoding queries on the fly requires --vocab and --init-checkpoint"
+        )
+        from proqa_tpu.data.datasets import EncodeDataset
+        from proqa_tpu.index.build import encode_corpus
+        from proqa_tpu.models.retriever import init_retriever_params
+
+        cfg = _bert_cfg(args)
+        params = _load_params(
+            args.init_checkpoint, init_retriever_params(jax.random.PRNGKey(0), cfg)
+        )
+        ds = EncodeDataset(
+            _tokenizer(args), args.query_embed,
+            max_query_length=args.max_query_length, is_query=True,
+        )
+        q = encode_corpus(params, cfg, ds, batch_size=256, is_query=True, buckets=None)
     recalls = evaluate_retrieval(
         args.raw_data, index, q, db, topk=args.topk, num_workers=args.num_workers
     )
@@ -391,10 +412,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("eval-retrieval")
     sp.add_argument("raw_data")
     sp.add_argument("index", help="index dir or embeddings .npy")
-    sp.add_argument("query_embed", help="query embeddings .npy")
+    sp.add_argument("query_embed",
+                    help="query embeddings .npy, or a {'question'} jsonl to encode on the fly")
     sp.add_argument("db")
     sp.add_argument("--topk", type=int, default=80)
     sp.add_argument("--num-workers", type=int, default=0)
+    sp.add_argument("--vocab", default="")
+    sp.add_argument("--init-checkpoint", default="")
+    sp.add_argument("--cased", action="store_true")
+    sp.add_argument("--tiny", action="store_true")
+    sp.add_argument("--max-query-length", type=int, default=30)
     sp.set_defaults(fn=cmd_eval_retrieval)
 
     sp = sub.add_parser("cluster-corpus")

@@ -207,3 +207,40 @@ def test_cli_build_db(world, capsys, tmp_path):
     from proqa_tpu.data.docdb import DocDB
     db = DocDB(str(tmp_path / "built.db"))
     assert db.get_doc_text("p3").startswith("tok3")
+
+
+def test_cli_eval_retrieval_on_the_fly(world, capsys):
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("pipeline test must run first")
+    main([
+        "eval-retrieval", str(world / "qa.jsonl"), str(world / "index"),
+        str(world / "qa.jsonl"),  # jsonl -> on-the-fly encoding
+        str(world / "docs.db"), "--topk", "10",
+        "--vocab", str(world / "vocab.txt"), "--tiny", "--max-query-length", "12",
+        "--init-checkpoint", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+    ])
+    out = capsys.readouterr().out
+    recalls = json.loads([l for l in out.strip().splitlines() if l.startswith("{")][-1])
+    assert set(recalls) == {"recall@5", "recall@10"}
+
+
+def test_cli_convert_trec_and_msmarco(tmp_path, capsys):
+    (tmp_path / "collection.tsv").write_text("0\tpassage a\n1\tpassage b\n")
+    (tmp_path / "queries.tsv").write_text("5\thello?\n")
+    (tmp_path / "qrels.tsv").write_text("5\t0\t1\t1\n")
+    main([
+        "convert-trec", "--collection", str(tmp_path / "collection.tsv"),
+        "--corpus-out", str(tmp_path / "corpus.jsonl"),
+        "--qrels", str(tmp_path / "qrels.tsv"), "--queries", str(tmp_path / "queries.tsv"),
+        "--labels-out", str(tmp_path / "labels.jsonl"),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[0])["corpus_rows"] == 2
+    assert json.loads(out[1])["labeled_queries"] == 1
+
+    marco = {"answers": {"0": ["yes"]}, "query": {"0": "q"},
+             "passages": {"0": [{"is_selected": 1, "passage_text": "p"}]}}
+    json.dump(marco, open(tmp_path / "m.json", "w"))
+    main(["convert-msmarco", "--input", str(tmp_path / "m.json"),
+          "--output", str(tmp_path / "m_out.jsonl")])
+    assert json.loads(capsys.readouterr().out.strip())["qa_pairs"] == 1
