@@ -23,14 +23,19 @@ import sys
 import numpy as np
 
 
-def _bert_cfg(args):
+def _bert_cfg(args, flash_default: bool = False):
+    import dataclasses
+
     import jax.numpy as jnp
 
     from proqa_tpu.models.bert import BertConfig
 
-    if args.tiny:
-        return BertConfig.tiny(dtype=jnp.bfloat16)
-    return BertConfig(dtype=jnp.bfloat16)
+    cfg = BertConfig.tiny(dtype=jnp.bfloat16) if args.tiny else BertConfig(dtype=jnp.bfloat16)
+    flash = getattr(args, "flash_attention", None)
+    if flash is None:
+        flash = flash_default
+    remat = getattr(args, "remat", True)  # required for base-size training on v5e
+    return dataclasses.replace(cfg, flash_attention=flash, remat=remat)
 
 
 def _tokenizer(args):
@@ -63,6 +68,11 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--max-seq-length", type=int, default=512)
     p.add_argument("--max-query-length", type=int, default=30)
+    p.add_argument("--flash-attention", action="store_true", default=None,
+                   help="fused attention kernel (default on for encode/index "
+                        "commands where it is exact; opt-in for training — "
+                        "attention-prob dropout is skipped on this path)")
+    p.add_argument("--no-remat", dest="remat", action="store_false", default=True)
 
 
 def cmd_pretrain_retriever(args):
@@ -137,7 +147,7 @@ def cmd_build_index(args):
     from proqa_tpu.index.build import build_index
     from proqa_tpu.models.retriever import init_retriever_params
 
-    cfg = _bert_cfg(args)
+    cfg = _bert_cfg(args, flash_default=True)
     tok = _tokenizer(args)
     template = init_retriever_params(jax.random.PRNGKey(0), cfg)
     params = _load_params(args.init_checkpoint, template)
@@ -156,7 +166,7 @@ def cmd_encode_queries(args):
     from proqa_tpu.index.build import encode_corpus
     from proqa_tpu.models.retriever import init_retriever_params
 
-    cfg = _bert_cfg(args)
+    cfg = _bert_cfg(args, flash_default=True)
     tok = _tokenizer(args)
     template = init_retriever_params(jax.random.PRNGKey(0), cfg)
     params = _load_params(args.init_checkpoint, template)

@@ -157,15 +157,25 @@ def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic, segmen
     # back to the vanilla path transparently
     if cfg.flash_attention and segments is not None and t % 128 == 0:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds, flash_attention,
+            BlockSizes, SegmentIds, flash_attention,
         )
 
+        # measured on v5e: the library defaults are ~4x slower than full-seq
+        # blocks at seq 512
+        blk = min(t, 512)
+        block_sizes = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
         ctx = flash_attention(
             q.transpose(0, 2, 1, 3),  # [B, H, T, D]
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             segment_ids=SegmentIds(q=segments, kv=segments),
             sm_scale=1.0 / math.sqrt(hd),
+            block_sizes=block_sizes,
         ).transpose(0, 2, 1, 3)
         return _dense(ctx.reshape(b, t, h).astype(x.dtype), p["attn_out"])
 
