@@ -30,7 +30,8 @@ def _bert_cfg(args, flash_default: bool = False):
 
     from proqa_tpu.models.bert import BertConfig
 
-    cfg = BertConfig.tiny(dtype=jnp.bfloat16) if args.tiny else BertConfig(dtype=jnp.bfloat16)
+    dtype = jnp.float32 if getattr(args, "f32", False) else jnp.bfloat16
+    cfg = BertConfig.tiny(dtype=dtype) if args.tiny else BertConfig(dtype=dtype)
     flash = getattr(args, "flash_attention", None)
     if flash is None:
         flash = flash_default
@@ -73,6 +74,9 @@ def _add_common(p):
                         "commands where it is exact; opt-in for training — "
                         "attention-prob dropout is skipped on this path)")
     p.add_argument("--no-remat", dest="remat", action="store_false", default=True)
+    p.add_argument("--f32", action="store_true",
+                   help="float32 activations + index scoring (bit-reproducible "
+                        "parity runs; default bf16 is the TPU production path)")
 
 
 def cmd_pretrain_retriever(args):
@@ -155,6 +159,7 @@ def cmd_build_index(args):
         params, cfg, args.corpus,
         tokenizer=tok, max_length=args.max_seq_length,
         batch_size=args.predict_batch_size, save_path=args.output_dir,
+        dtype=cfg.dtype, stream_chunk=args.stream_chunk,
     )
     print(json.dumps({"rows": len(index), "dim": index.dim, "saved": args.output_dir}))
 
@@ -183,7 +188,11 @@ def cmd_eval_retrieval(args):
     from proqa_tpu.index.dense import DenseIndex
     from proqa_tpu.index.recall import evaluate_retrieval
 
-    index = DenseIndex.load(args.index)
+    import jax.numpy as jnp
+
+    index = DenseIndex.load(
+        args.index, dtype=jnp.float32 if args.f32 else jnp.bfloat16
+    )
     db = DocDB(args.db)
     if args.query_embed.endswith(".npy"):
         q = np.load(args.query_embed)
@@ -223,7 +232,20 @@ def cmd_cluster_corpus(args):
         spherical=args.spherical, seed=args.seed,
     )
     n = write_cluster_shards(args.pairs, assignments, args.output_dir)
-    print(json.dumps({"shards": n, "ncentroids": args.ncentroids}))
+    # shard-size histogram: collapse visibility at scale (a handful of giant
+    # clusters starves the cluster-pure batch sampler of negatives)
+    sizes = np.bincount(assignments, minlength=args.ncentroids)
+    nonzero = np.sort(sizes[sizes > 0])
+    print(json.dumps({
+        "shards": n, "ncentroids": args.ncentroids,
+        "shard_sizes": {
+            "min": int(nonzero[0]) if n else 0,
+            "p50": int(np.median(nonzero)) if n else 0,
+            "p99": int(np.percentile(nonzero, 99)) if n else 0,
+            "max": int(nonzero[-1]) if n else 0,
+            "empty": int((sizes == 0).sum()),
+        },
+    }))
 
 
 def cmd_match_paras(args):
@@ -252,15 +274,19 @@ def _qa_setup(args):
         shared_norm=args.shared_norm, separate=args.separate,
         add_select=args.add_select, drop_early=args.drop_early, qa_drop=args.qa_drop,
     )
-    # the question batch shards over the data mesh: round up to a multiple
+    # the question batch shards over the data mesh and splits into grad-accum
+    # microbatches: round up to a multiple of both
     n_dev = len(jax.devices())
-    qpb = -(-args.questions_per_batch // n_dev) * n_dev
+    mult = n_dev * max(1, args.accumulate_gradients)
+    qpb = -(-args.questions_per_batch // mult) * mult
     if qpb != args.questions_per_batch:
         print(f"questions-per-batch {args.questions_per_batch} -> {qpb} "
-              f"(multiple of {n_dev} devices)")
+              f"(multiple of {n_dev} devices x {max(1, args.accumulate_gradients)} microbatches)")
     args.questions_per_batch = qpb
     tcfg = QATrainerConfig(
         learning_rate=args.learning_rate,
+        accumulate_gradients=args.accumulate_gradients,
+        prefetch_batches=args.prefetch,
         num_train_epochs=args.num_train_epochs,
         eval_period=args.eval_period,
         wait_step=args.wait_step,
@@ -303,7 +329,10 @@ def _qa_setup(args):
         candidates=args.candidates,
         regex=args.regex,
         question_batch=args.questions_per_batch,
-        exact_search=not args.approx_search,
+        # IVF is a coarse-quantized (approximate) search by construction:
+        # exact=True would bypass the quantizer entirely, silently turning
+        # --use-ivf into a no-op (round-1 advisor finding)
+        exact_search=not (args.approx_search or args.use_ivf),
     )
     make_sampler = lambda raw, matched="": OnlineSampler(
         raw, tok, db, index, scfg, matched_para_path=matched
@@ -321,7 +350,11 @@ def cmd_finetune_qa(args):
 
 def cmd_eval_qa(args):
     trainer, make_sampler = _qa_setup(args)
-    em = trainer.predict(make_sampler(args.predict_file), save_path=args.save_pred or None)
+    em = trainer.predict(
+        make_sampler(args.predict_file),
+        save_path=args.save_pred or None,
+        save_all_prefix=args.save_all or None,
+    )
     print(json.dumps({"em": em}))
 
 
@@ -409,6 +442,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--init-checkpoint", required=True)
     sp.add_argument("--output-dir", required=True)
     sp.add_argument("--predict-batch-size", type=int, default=512)
+    sp.add_argument("--stream-chunk", type=int, default=0,
+                    help="rows per streaming chunk: bounded-RAM build writing "
+                         "embeddings.npy incrementally (0 = in-memory build)")
     sp.set_defaults(fn=cmd_build_index)
 
     sp = sub.add_parser("encode-queries")
@@ -432,6 +468,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cased", action="store_true")
     sp.add_argument("--tiny", action="store_true")
     sp.add_argument("--max-query-length", type=int, default=30)
+    sp.add_argument("--f32", action="store_true",
+                    help="float32 index scoring (parity runs)")
     sp.set_defaults(fn=cmd_eval_retrieval)
 
     sp = sub.add_parser("cluster-corpus")
@@ -473,6 +511,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--candidates", type=int, default=5000)
         sp.add_argument("--eval-k", type=int, default=5)
         sp.add_argument("--learning-rate", type=float, default=1e-5)
+        sp.add_argument("--accumulate-gradients", type=int, default=1,
+                        help="grad-accum microbatches per optimizer step")
+        sp.add_argument("--prefetch", type=int, default=2,
+                        help="sampler batches built ahead of the device (0 off)")
         sp.add_argument("--num-train-epochs", type=int, default=20)
         sp.add_argument("--eval-period", type=int, default=-1)
         sp.add_argument("--wait-step", type=int, default=100)
@@ -489,6 +531,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--ivf-nlist", type=int, default=100)
         sp.add_argument("--ivf-nprobe", type=int, default=20)
         sp.add_argument("--save-pred", default="", help="write best-alpha predictions jsonl")
+        sp.add_argument("--save-all", default="", metavar="PREFIX",
+                        help="dump all candidate predictions + ground truths + "
+                             "per-alpha top-1 files under PREFIX (reference --save-all)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("convert-hf")

@@ -100,6 +100,101 @@ def encode_corpus(
     return out_arr if out_arr is not None else np.empty((0, 0), np.float32)
 
 
+def encode_corpus_streaming(
+    params,
+    cfg: BertConfig,
+    corpus_jsonl: str,
+    tokenizer,
+    out_path: str,
+    *,
+    max_length: int = 512,
+    batch_size: int = 512,
+    chunk_rows: int = 65536,
+    buckets: tuple | None = DEFAULT_BUCKETS,
+    mesh=None,
+    prefetch: int = 4,
+    progress: bool = False,
+) -> tuple[np.ndarray, list[str]]:
+    """Bounded-host-RAM corpus encode (Wikipedia-scale builds on small hosts,
+    reference workload /root/reference/retrieval/get_embed.py at 20M+ rows).
+
+    Streams the jsonl twice: pass 1 collects doc ids + row count (strings
+    only); pass 2 tokenizes, length-buckets and encodes WITHIN chunks of
+    `chunk_rows`, writing each chunk's embeddings straight into a .npy memmap
+    at `out_path`. Peak host memory is O(chunk_rows), never O(corpus).
+
+    Returns (embeddings memmap [N, D] f32, doc_ids).
+    """
+    import json as _json
+    import os
+
+    from proqa_tpu.data.collate import batch_pad, collate_tokens
+
+    # ---- pass 1: ids + count (no text retained) ----
+    doc_ids: list[str] = []
+    with open(corpus_jsonl) as f:
+        for line in f:
+            if line.strip():
+                row = _json.loads(line)
+                doc_ids.append(str(row.get("id", len(doc_ids))))
+    n = len(doc_ids)
+
+    dim = np.asarray(params["proj_c"]["bias"]).shape[0]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.float32, shape=(n, dim))
+
+    encode = encode_context
+    fn = lambda p, ids, mask: encode(p, cfg, ids, mask)
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P(DATA_AXIS))
+        jfn = jax.jit(fn, in_shardings=(replicated, sharded, sharded), out_shardings=sharded)
+    else:
+        jfn = jax.jit(fn)
+
+    if buckets is not None:
+        buckets = tuple(b for b in buckets if b <= max_length)
+        if not buckets or buckets[-1] < max_length:
+            buckets = buckets + (max_length,)
+
+    def chunk_texts():
+        texts, base = [], 0
+        with open(corpus_jsonl) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                texts.append(_json.loads(line)["text"])
+                if len(texts) == chunk_rows:
+                    yield base, texts
+                    base += len(texts)
+                    texts = []
+        if texts:
+            yield base, texts
+
+    def batches():
+        for base, texts in chunk_texts():
+            ids_chunk = [tokenizer.encode(t, max_length=max_length) for t in texts]
+            order = np.argsort([len(x) for x in ids_chunk], kind="stable")
+            for start in range(0, len(ids_chunk), batch_size):
+                sel = order[start : start + batch_size]
+                ids = collate_tokens([ids_chunk[i] for i in sel], buckets=buckets) \
+                    if buckets is not None else collate_tokens(
+                        [ids_chunk[i] for i in sel], length=max_length)
+                batch = {"input_ids": ids, "input_mask": (ids != 0).astype(np.int32)}
+                batch, rows = batch_pad(batch, batch_size)
+                yield base + sel, batch, rows
+
+    done = 0
+    for global_rows, batch, rows in BatchLoader(batches(), prefetch=prefetch):
+        emb = jfn(params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["input_mask"]))
+        out[global_rows] = np.asarray(emb, np.float32)[:rows]
+        done += rows
+        if progress and done % (50 * batch_size) < batch_size:
+            print(f"encoded {done} / {n}", flush=True)
+    out.flush()
+    return out, doc_ids
+
+
 def build_index(
     params,
     cfg: BertConfig,
@@ -112,8 +207,30 @@ def build_index(
     mesh=None,
     dtype=jnp.bfloat16,
     save_path: str | None = None,
+    stream_chunk: int = 0,
 ) -> DenseIndex:
-    """Encode a {"text": ..., ["id": ...]} jsonl corpus into a DenseIndex."""
+    """Encode a {"text": ..., ["id": ...]} jsonl corpus into a DenseIndex.
+
+    stream_chunk > 0 switches to the bounded-RAM path (requires save_path):
+    embeddings are written incrementally into `<save_path>/embeddings.npy`
+    and the device index is built from the memmap, so host memory stays
+    O(stream_chunk) regardless of corpus size.
+    """
+    import os
+
+    if stream_chunk > 0:
+        assert save_path, "streaming build writes directly into save_path"
+        os.makedirs(save_path, exist_ok=True)
+        emb_path = os.path.join(save_path, "embeddings.npy")
+        embeds, ids = encode_corpus_streaming(
+            params, cfg, corpus_jsonl, tokenizer, emb_path,
+            max_length=max_length, batch_size=batch_size,
+            chunk_rows=stream_chunk, mesh=mesh, progress=True,
+        )
+        id_map = IdMap.from_doc_ids(doc_ids if doc_ids is not None else ids)
+        id_map.save(os.path.join(save_path, "idx_id.json"))
+        return DenseIndex.from_embeddings(embeds, id_map, mesh=mesh, dtype=dtype)
+
     dataset = EncodeDataset(tokenizer, corpus_jsonl, max_length=max_length, is_query=False)
     if doc_ids is None:
         doc_ids = [row.get("id", str(i)) for i, row in enumerate(dataset.data)]

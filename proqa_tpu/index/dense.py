@@ -56,11 +56,17 @@ class DenseIndex:
         if mesh is not None:
             mult = np.lcm(mult, int(np.prod(list(mesh.shape.values()))))
         n_pad = (-n) % mult
-        if n_pad:
-            embeddings = np.concatenate(
-                [np.asarray(embeddings), np.zeros((n_pad, embeddings.shape[1]), embeddings.dtype)]
-            )
-        arr = jnp.asarray(embeddings, dtype=dtype)
+        if n_pad and isinstance(embeddings, np.memmap):
+            # streaming/memmap builds: pad on device instead of materializing
+            # a padded host copy (O(corpus) RAM at Wikipedia scale)
+            arr = jnp.pad(jnp.asarray(embeddings, dtype=dtype), ((0, n_pad), (0, 0)))
+        else:
+            if n_pad:
+                embeddings = np.concatenate(
+                    [np.asarray(embeddings),
+                     np.zeros((n_pad, embeddings.shape[1]), embeddings.dtype)]
+                )
+            arr = jnp.asarray(embeddings, dtype=dtype)
         if mesh is not None:
             arr = shard_rows(mesh, arr)
         else:
@@ -121,7 +127,7 @@ class DenseIndex:
             id_map = IdMap.load(map_path) if os.path.exists(map_path) else None
         else:
             emb_path, id_map = path, None
-        emb = np.load(emb_path)
+        emb = np.load(emb_path, mmap_mode="r")  # bounded-RAM load at scale
         return cls.from_embeddings(emb, id_map, mesh=mesh, dtype=dtype)
 
     def to_ivf(self, *, nlist: int = 100, nprobe: int = 20, niter: int = 20,

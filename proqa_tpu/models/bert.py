@@ -216,8 +216,17 @@ def bert_encoder(
     )
     x = _layer_norm(x.astype(cfg.dtype), emb["ln"], cfg.layer_norm_eps)
 
+    dropout_on = not deterministic and (
+        cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
+    )
     if dropout_rng is None:
-        dropout_rng = jax.random.PRNGKey(0)
+        # A silent fixed key would replay IDENTICAL dropout masks every step —
+        # a correctness trap, not a default (round-1 advisor weak #7).
+        assert not dropout_on, (
+            "bert_encoder: deterministic=False with nonzero dropout requires "
+            "an explicit dropout_rng (pass deterministic=True for inference)"
+        )
+        dropout_rng = jax.random.PRNGKey(0)  # unused: dropout rates are 0
     x = _dropout(x, cfg.hidden_dropout, dropout_rng, deterministic)
 
     # Additive attention bias in fp32: 0 where attended, -1e30 where masked.

@@ -1,6 +1,9 @@
 """ctypes binding for the C++ wordpiece tokenizer (ASCII fast path).
 
 Builds libproqa_wp.so on first use (g++ -O2), caches it next to the source.
+The binary is NOT version-controlled: a source hash stored beside it gates
+reuse, so the loaded library always corresponds to the checked-in .cpp (an
+unauditable stale/foreign binary can never shadow the source).
 `NativeWordpiece.tokenize` returns wordpiece *strings* (converting back from
 ids via the vocab) so it is a drop-in for the Python tokenizer; non-ASCII
 inputs transparently fall back to the Python implementation.
@@ -8,23 +11,35 @@ inputs transparently fall back to the Python implementation.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
 
 _SRC = os.path.join(os.path.dirname(__file__), "wordpiece.cpp")
 _LIB = os.path.join(os.path.dirname(__file__), "libproqa_wp.so")
+_HASH = _LIB + ".srchash"
 _BUILD_LOCK = threading.Lock()
+
+
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> str:
     with _BUILD_LOCK:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        digest = _src_digest()
+        cached = os.path.exists(_LIB) and os.path.exists(_HASH) and \
+            open(_HASH).read().strip() == digest
+        if not cached:
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB + ".tmp"],
                 check=True, capture_output=True,
             )
             os.replace(_LIB + ".tmp", _LIB)
+            with open(_HASH, "w") as f:
+                f.write(digest)
     return _LIB
 
 

@@ -56,9 +56,12 @@ def _pad_rows(corpus: jax.Array, multiple: int) -> tuple[jax.Array, int]:
     return corpus, n
 
 
-def _mask_padding(scores: jax.Array, n_valid: int) -> jax.Array:
+def _mask_padding(scores: jax.Array, n_valid) -> jax.Array:
+    """Mask trailing padded rows. n_valid may be a static int or a traced
+    scalar (the sharded search passes per-shard valid counts derived from
+    axis_index)."""
     n = scores.shape[-1]
-    if n == n_valid:
+    if isinstance(n_valid, int) and n_valid >= n:
         return scores
     valid = jnp.arange(n) < n_valid
     return jnp.where(valid[None, :], scores, NEG_INF)
@@ -113,7 +116,7 @@ def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int, *, n_vali
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block", "kb", "q_chunk", "exact_blocks", "n_valid")
+    jax.jit, static_argnames=("k", "block", "kb", "q_chunk", "exact_blocks")
 )
 def mips_topk_blockmax(
     queries: jax.Array,
@@ -184,7 +187,7 @@ def mips_topk_blockmax(
     return vals.reshape(q, k), idx.reshape(q, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "recall_target", "n_valid"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "recall_target"))
 def mips_topk_chunked_approx(
     queries: jax.Array,
     corpus: jax.Array,
@@ -242,10 +245,21 @@ def mips_topk(
     exact top-k is supported up to k<=512: on TPU with MXU-aligned shapes the
     fused Pallas kernel (ops/pallas_mips.py) runs phase 1; otherwise the XLA
     block-max path. Larger k (QA top-5000) uses the streaming approx path
-    (recall >= ~0.99, cf. the reference's IVF nprobe=20). n_valid masks
-    pre-padded corpus rows.
+    (recall >= ~0.99, cf. the reference's IVF nprobe=20) — requesting
+    exact=True with k > 512 warns, since the flag cannot be honored. n_valid
+    masks pre-padded corpus rows; it may be a traced scalar (per-shard counts
+    in the sharded search).
     """
     n = corpus.shape[0]
+    if exact and k > 512 and n > 4096 and n > 4 * k:
+        import warnings
+
+        warnings.warn(
+            f"mips_topk(exact=True, k={k}): exact search supports k<=512; "
+            "falling back to the streaming approx path (recall ~0.99). "
+            "Pass exact=False to silence.",
+            stacklevel=2,
+        )
     # naive path only while a full [Q, N] top_k is cheap (XLA TopK degrades
     # fast: ~56ms at [2048, 65536] on v5e)
     if n <= 4096 or n <= 4 * k:

@@ -75,7 +75,7 @@ def block_maxima(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block", "kb", "q_chunk", "tile_n", "tile_q", "n_valid", "interpret"),
+    static_argnames=("k", "block", "kb", "q_chunk", "tile_n", "tile_q", "interpret"),
 )
 def mips_topk_pallas(
     queries: jax.Array,
@@ -116,6 +116,23 @@ def mips_topk_pallas(
     # blocks entirely past n_valid can never contain results
     full_pad_block = (jnp.arange(nb) * block) >= n_valid
     bmax = jnp.where(full_pad_block[:, None], NEG_INF, bmax)
+    # The block STRADDLING n_valid still has pad rows (score 0) inside its
+    # max; with negative true scores that inflated max can evict the block
+    # holding a real top-k row. Recompute that one block's maxima with pads
+    # masked (one cheap [Q, block] rescore). Statically skippable only when
+    # the valid/pad boundary is block-aligned.
+    if not (isinstance(n_valid, int) and n_valid % block == 0):
+        from proqa_tpu.ops.mips import _precision
+
+        sb = jnp.minimum(jnp.asarray(n_valid, jnp.int32) // block, nb - 1)
+        blk = jax.lax.dynamic_slice_in_dim(corpus, sb * block, block, axis=0)
+        s = jnp.einsum(
+            "bd,qd->bq", blk.astype(queries.dtype), queries,
+            preferred_element_type=jnp.float32, precision=_precision(queries.dtype),
+        )                                                 # [block, Q]
+        row_valid = (sb * block + jnp.arange(block)) < n_valid
+        s = jnp.where(row_valid[:, None], s, NEG_INF)
+        bmax = jax.lax.dynamic_update_slice(bmax, jnp.max(s, axis=0)[None, :], (sb, 0))
 
     _, top_blocks = exact_topk(bmax.T, kb)                # [Q, kb]
     top_blocks = top_blocks.astype(jnp.int32)

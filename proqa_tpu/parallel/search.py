@@ -43,8 +43,18 @@ def sharded_mips_topk(
     local_n = n // n_dev
 
     def local_search(q, c_local):
-        vals, idx = mips_topk(q, c_local, k, exact=exact, **search_kw)
         offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * local_n
+        if n_valid is not None and n_valid < n:
+            # Mask padded rows BEFORE the local top-k: zero-vector pads score
+            # exactly 0 and would otherwise win local slots over genuine
+            # negative-score rows, evicting true candidates on the padded
+            # shard. Per-shard valid count is traced from axis_index.
+            local_valid = jnp.clip(jnp.int32(n_valid) - offset, 0, local_n)
+            vals, idx = mips_topk(
+                q, c_local, k, exact=exact, n_valid=local_valid, **search_kw
+            )
+        else:
+            vals, idx = mips_topk(q, c_local, k, exact=exact, **search_kw)
         idx = idx + offset
         if n_valid is not None and n_valid < n:
             vals = jnp.where(idx < n_valid, vals, jnp.float32(-3.0e38))

@@ -97,10 +97,10 @@ class OnlineSampler:
         embeds = np.asarray(query_encoder(ids, mask), np.float32)
         return embeds, q_ids
 
-    def _retrieve(self, questions: list[str], query_encoder: Callable):
+    def _retrieve(self, questions: list[str], query_encoder: Callable, candidates: int | None = None):
         embeds, q_ids = self._encode_questions(questions, query_encoder)
         _, rows = self.index.search(
-            embeds, self.cfg.candidates, exact=self.cfg.exact_search,
+            embeds, candidates or self.cfg.candidates, exact=self.cfg.exact_search,
             q_pad=min(self.cfg.question_batch, 256),
         )
         para_embeds = self.index.take(rows.reshape(-1)).reshape(
@@ -270,30 +270,27 @@ class OnlineSampler:
         offset maps needed to project predictions back to text."""
         self._k = k
         B = questions_per_batch or self.cfg.question_batch
-        cand = self.cfg.candidates
-        self.cfg = dataclasses.replace(self.cfg, candidates=k)
-        try:
-            for group_start in range(0, len(self.qa_data), B):
-                group = self.qa_data[group_start : group_start + B]
-                questions = [qa["question"] for qa in group]
-                q_ids, rows, para_embeds = self._retrieve(questions, query_encoder)
-                examples = []
-                for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
-                    cand_ids = self.index.id_map.rows_to_ids(rr)
-                    per_para = []
-                    for pid in cand_ids[:k]:
-                        text = self.db.get_doc_text(pid)
-                        p = normalize(text) if text else ""
-                        per_para.append(self._tensorize_paragraph(qi, p, matched=[]))
-                    examples.append({
-                        "qid": hash_question(qa["question"]),
-                        "question": qa["question"],
-                        "answers": qa["answer"],
-                        "per_para": per_para,
-                        "top_labels": np.zeros((k,), np.int32),
-                        "para_embed": pe,
-                        "q_token_ids": qi,
-                    })
-                yield self._collate_questions(examples, with_targets=False)
-        finally:
-            self.cfg = dataclasses.replace(self.cfg, candidates=cand)
+        # candidates passed per-call (NOT via cfg mutation): eval_load is
+        # re-entrant with a concurrent train load over the same sampler cfg
+        for group_start in range(0, len(self.qa_data), B):
+            group = self.qa_data[group_start : group_start + B]
+            questions = [qa["question"] for qa in group]
+            q_ids, rows, para_embeds = self._retrieve(questions, query_encoder, candidates=k)
+            examples = []
+            for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
+                cand_ids = self.index.id_map.rows_to_ids(rr)
+                per_para = []
+                for pid in cand_ids[:k]:
+                    text = self.db.get_doc_text(pid)
+                    p = normalize(text) if text else ""
+                    per_para.append(self._tensorize_paragraph(qi, p, matched=[]))
+                examples.append({
+                    "qid": hash_question(qa["question"]),
+                    "question": qa["question"],
+                    "answers": qa["answer"],
+                    "per_para": per_para,
+                    "top_labels": np.zeros((k,), np.int32),
+                    "para_embed": pe,
+                    "q_token_ids": qi,
+                })
+            yield self._collate_questions(examples, with_targets=False)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
+import json
+import threading
 from typing import Callable, Iterator
 
 import jax
@@ -20,6 +22,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from proqa_tpu.data.collate import batch_pad
+from proqa_tpu.data.loader import BatchLoader
 from proqa_tpu.models.bert import BertConfig
 from proqa_tpu.models.reader import (
     QAConfig,
@@ -50,6 +53,9 @@ class QATrainerConfig:
     weight_decay: float = 0.0
     max_grad_norm: float = 5.0
     adam_eps: float = 1e-8
+    accumulate_gradients: int = 1  # microbatches per optimizer step, scanned
+                                   # inside the jitted step (reference
+                                   # qa/config.py:57, train_retrieve_qa.py:196-217)
     num_train_epochs: int = 20
     eval_period: int = -1          # -1: eval at epoch end only (reference default)
     wait_step: int = 100
@@ -65,6 +71,9 @@ class QATrainerConfig:
     output_dir: str = "logs/qa"
     fast_prng: bool = True  # TPU hardware RNG for dropout masks (see
                             # RetrieverTrainerConfig.fast_prng)
+    prefetch_batches: int = 2  # sampler batches built ahead of the device
+                               # (host span matching overlaps TPU steps);
+                               # 0 disables the prefetch thread
 
 
 class QATrainer:
@@ -82,9 +91,10 @@ class QATrainer:
         self.tcfg = tcfg
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.shape[DATA_AXIS]
-        assert tcfg.questions_per_batch % n_dev == 0, (
+        accum = max(1, tcfg.accumulate_gradients)
+        assert tcfg.questions_per_batch % (n_dev * accum) == 0, (
             f"questions_per_batch={tcfg.questions_per_batch} must divide over "
-            f"the {n_dev}-device data mesh"
+            f"{accum} microbatches x the {n_dev}-device data mesh"
         )
         self.logger = setup_logger("proqa.qa", f"{tcfg.output_dir}/log.txt")
         self.metrics = MetricLogger(f"{tcfg.output_dir}/metrics.jsonl")
@@ -115,15 +125,49 @@ class QATrainer:
         replicated = NamedSharding(self.mesh, P())
         batch_sharded = NamedSharding(self.mesh, P(DATA_AXIS))
 
-        def train_step(state, batch, rng):
+        def microbatch_grads(params, mb, rng):
             def loss_fn(p):
                 out = qa_forward(
-                    p, bert_cfg, qa_cfg, batch, deterministic=False, dropout_rng=rng
+                    p, bert_cfg, qa_cfg, mb, deterministic=False, dropout_rng=rng
                 )
-                comp = qa_loss(out, batch, qa_cfg)
+                comp = qa_loss(out, mb, qa_cfg)
                 return comp["loss"], comp
 
-            (_, comp), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (_, comp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, comp
+
+        def train_step(state, batch, rng):
+            if accum == 1:
+                grads, comp = microbatch_grads(state.params, batch, rng)
+            else:
+                # lax.scan over question-dim microbatches (reference
+                # --accumulate_gradients, qa/train_retrieve_qa.py:196-217)
+                split = {
+                    k: v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
+                    for k, v in batch.items()
+                }
+                rngs = jax.random.split(rng, accum)
+
+                def body(carry, inp):
+                    gsum, csum = carry
+                    mb, r = inp
+                    g, c = microbatch_grads(state.params, mb, r)
+                    return (
+                        jax.tree.map(jnp.add, gsum, g),
+                        jax.tree.map(jnp.add, csum, c),
+                    ), None
+
+                zero_g = jax.tree.map(jnp.zeros_like, state.params)
+                comp_struct = jax.eval_shape(
+                    lambda p, mb, r: microbatch_grads(p, mb, r)[1],
+                    state.params, {k: v[0] for k, v in split.items()}, rngs[0],
+                )
+                zero_c = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), comp_struct
+                )
+                (gsum, csum), _ = jax.lax.scan(body, (zero_g, zero_c), (split, rngs))
+                grads = jax.tree.map(lambda g: g / accum, gsum)
+                comp = jax.tree.map(lambda c: c / accum, csum)
             return apply_gradients(state, grads, self.tx), comp
 
         self._train_step = jax.jit(
@@ -153,16 +197,30 @@ class QATrainer:
         self._encode_query = jax.jit(
             lambda p, ids, mask: encode_query(p, bert_cfg, ids, mask)
         )
+        # Serializes state-reading dispatches against the train step's
+        # donate+reassign: the prefetch thread encodes queries with the live
+        # params, and must never capture a state whose buffers were just
+        # donated but not yet replaced.
+        self._state_lock = threading.Lock()
 
     # -------------------- plumbing --------------------
 
     def query_encoder(self) -> Callable:
         """Encoder reading the LIVE retriever params at every call, so online
         retrieval follows training (and donated state buffers are never
-        captured stale)."""
-        return lambda ids, mask: self._encode_query(
-            self.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask)
-        )
+        captured stale). Safe to call from the prefetch thread: dispatch is
+        serialized against the train step's state swap."""
+        def enc(ids, mask):
+            with self._state_lock:
+                return self._encode_query(
+                    self.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask)
+                )
+        return enc
+
+    def _prefetched(self, batch_iter):
+        if self.tcfg.prefetch_batches > 0:
+            return BatchLoader(batch_iter, prefetch=self.tcfg.prefetch_batches)
+        return batch_iter
 
     def save(self, name: str):
         ckpt.save_checkpoint(f"{self.tcfg.output_dir}/{name}.msgpack", self.state)
@@ -175,18 +233,27 @@ class QATrainer:
 
     # -------------------- evaluation --------------------
 
-    def predict(self, sampler, save_path: str | None = None) -> float:
+    def predict(
+        self,
+        sampler,
+        save_path: str | None = None,
+        save_all_prefix: str | None = None,
+    ) -> float:
         """Full EM eval with the rank/span linear-combination sweep.
 
         save_path: optional jsonl of the best-alpha top predictions
-        (reference --save-pred/--save-all, train_retrieve_qa.py:359-364,391-394).
+        (reference --save-pred, train_retrieve_qa.py:391-394 best alpha).
+        save_all_prefix: reference --save-all/--save-pred dump set
+        (train_retrieve_qa.py:359-364,391-394): `{prefix}_all.json` (every
+        candidate prediction per question), `{prefix}_ground.json` (ground
+        truths), and `{prefix}_{alpha}.json` per-alpha top-1 jsonl.
         """
         t = self.tcfg
         qid2results: dict[str, list[Prediction]] = collections.defaultdict(list)
         qid2ground: dict[str, list] = {}
         B = sampler.cfg.question_batch
 
-        for batch in sampler.eval_load(self.query_encoder(), t.eval_k, B):
+        for batch in self._prefetched(sampler.eval_load(self.query_encoder(), t.eval_k, B)):
             net, rows = batch_pad(batch["net_input"], B)
             out = self._eval_step(self.state.params, self._device_batch(net))
             start = np.asarray(out["start"])[:rows]
@@ -220,8 +287,17 @@ class QATrainer:
                         question=batch["q"][qi],
                     ))
 
+        if save_all_prefix:
+            # reference --save-all (train_retrieve_qa.py:359-364): every
+            # candidate prediction and the ground truths, for offline analysis
+            with open(f"{save_all_prefix}_all.json", "w") as f:
+                json.dump({q: [p._asdict() for p in ps] for q, ps in qid2results.items()}, f)
+            with open(f"{save_all_prefix}_ground.json", "w") as f:
+                json.dump(qid2ground, f)
+
         match_fn = regex_match_score if t.regex else exact_match_score
-        best_em, best_rows = 0.0, []
+        # first alpha wins ties (reference `em > best_em`, :386-387)
+        best_em, best_rows = -1.0, []
         for alpha in ALPHA_GRID:
             ems, rows = [], []
             for qid, preds in qid2results.items():
@@ -234,15 +310,18 @@ class QATrainer:
                     "gold": qid2ground[qid], "em": float(em_i), "alpha": alpha,
                 })
             em = float(np.mean(ems)) if ems else 0.0
-            if em >= best_em:
+            if em > best_em:
                 best_em, best_rows = em, rows
+            if save_all_prefix:
+                # reference --save-pred per-alpha dumps (:391-394)
+                with open(f"{save_all_prefix}_{alpha}.json", "w") as f:
+                    for row in rows:
+                        f.write(json.dumps(row) + "\n")
         if save_path:
-            import json
-
             with open(save_path, "w") as f:
                 for row in best_rows:
                     f.write(json.dumps(row) + "\n")
-        return best_em
+        return max(best_em, 0.0)
 
     # -------------------- training --------------------
 
@@ -252,17 +331,18 @@ class QATrainer:
         meter = AverageMeter()
         for epoch in range(t.num_train_epochs):
             train_sampler.shuffle(seed=t.seed + epoch)
-            for batch in train_sampler.load(
+            for batch in self._prefetched(train_sampler.load(
                 self.query_encoder(), t.train_k, t.questions_per_batch
-            ):
+            )):
                 net, rows = batch_pad(batch["net_input"], t.questions_per_batch)
                 net["question_mask"] = (
                     np.arange(t.questions_per_batch) < rows
                 ).astype(np.int32)
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, comp = self._train_step(
-                    self.state, self._device_batch(net), step_rng
-                )
+                with self._state_lock:
+                    self.state, comp = self._train_step(
+                        self.state, self._device_batch(net), step_rng
+                    )
                 step = int(self.state.step)
                 loss = float(comp["loss"])
                 meter.update(loss)

@@ -23,7 +23,11 @@ from proqa_tpu.models.retriever import encode_context, init_retriever_params
 
 class FakeTok:
     def encode(self, text, max_length=None):
-        ids = [2] + [5 + (hash(w) % 100) for w in text.split()] + [3]
+        # deterministic across processes (hash() is salted per interpreter,
+        # which made token ids — and near-tie orderings — run-dependent)
+        import zlib
+
+        ids = [2] + [5 + (zlib.crc32(w.encode()) % 100) for w in text.split()] + [3]
         return ids[:max_length] if max_length else ids
 
 
@@ -70,7 +74,7 @@ def test_build_index_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(i1, i2)
     # index equals brute-force numpy search
     emb = np.load(tmp_path / "idx" / "embeddings.npy")
-    want = np.argsort(-(q @ emb.T), axis=1)[:, :3]
+    want = np.argsort(-(q @ emb.T), kind="stable", axis=1)[:, :3]
     np.testing.assert_array_equal(i1, want)
 
 
@@ -86,6 +90,36 @@ def test_recall_at_k(tmp_path):
     assert out[1] == 0.0      # q1 top-1 is 'b' (no), q2 has no match at all
     assert out[2] == 0.5      # q1 covered at rank 2
     assert out[3] == 0.5
+
+
+def test_build_index_streaming_matches_inmemory(setup, tmp_path):
+    """Bounded-RAM streaming build (chunked tokenize + incremental memmap
+    write) must produce the identical index artifact and search results."""
+    root, cfg, params = setup
+    ref = build_index(
+        params, cfg, str(root / "corpus.jsonl"),
+        tokenizer=FakeTok(), max_length=12, batch_size=8,
+        dtype=jnp.float32, save_path=str(tmp_path / "mem"),
+    )
+    streamed = build_index(
+        params, cfg, str(root / "corpus.jsonl"),
+        tokenizer=FakeTok(), max_length=12, batch_size=8,
+        dtype=jnp.float32, save_path=str(tmp_path / "stream"),
+        stream_chunk=7,  # forces several partial chunks over the 23 rows
+    )
+    a = np.load(tmp_path / "mem" / "embeddings.npy")
+    b = np.load(tmp_path / "stream" / "embeddings.npy")
+    np.testing.assert_allclose(b, a, atol=1e-5)
+    assert len(streamed) == len(ref) == 23
+    assert streamed.id_map[22] == "p22"
+    q = a[:3]
+    _, i1 = ref.search(q, 4)
+    _, i2 = streamed.search(q, 4)
+    np.testing.assert_array_equal(i2, i1)
+    # reload path goes through the memmap (mmap_mode) branch incl. padding
+    loaded = DenseIndex.load(str(tmp_path / "stream"), dtype=jnp.float32)
+    _, i3 = loaded.search(q, 4)
+    np.testing.assert_array_equal(i3, i1)
 
 
 def test_encode_corpus_bucketed_order_preserved(setup):

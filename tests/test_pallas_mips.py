@@ -38,6 +38,49 @@ def test_mips_topk_pallas_exact():
     assert mismatch.mean() < 0.001
 
 
+def test_mips_topk_pallas_straddling_block_masked():
+    """Round-1 advisor repro: the block straddling n_valid contains zero-score
+    pad rows; with kb < nb and all-negative true scores the pad-inflated block
+    max must NOT evict a block holding a true top-k row."""
+    q, n, d, k, block = 256, 3000, 64, 4, 128
+    emb = np.zeros((n, d), np.float32)
+    emb[:, 0] = -100.0
+    top_rows = [10, 200, 400, 900]  # blocks 0, 1, 3, 7 — none in the straddler
+    for rank, row in enumerate(top_rows):
+        emb[row, 0] = -float(rank + 1)
+    queries = np.zeros((q, d), np.float32)
+    queries[:, 0] = 1.0
+    # kb=4 == k: straddling block (rows 2944..2999 valid, 3000.. pad) would
+    # rank first with an unmasked max of 0 and evict the -4 block.
+    pv, pi = mips_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(emb), k, block=block, kb=4,
+        q_chunk=256, tile_n=512, tile_q=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pi)[0], top_rows)
+    np.testing.assert_allclose(np.asarray(pv)[0], [-1.0, -2.0, -3.0, -4.0])
+
+
+def test_mips_topk_pallas_traced_n_valid():
+    """n_valid as a traced scalar (the sharded path) must match static."""
+    rng = np.random.default_rng(3)
+    q, n, d, k = 256, 2000, 64, 8
+    queries = jnp.asarray(np.abs(rng.standard_normal((q, d))), jnp.float32)
+    corpus = jnp.asarray(-np.abs(rng.standard_normal((n, d))), jnp.float32)
+    padded = jnp.pad(corpus, ((0, 48), (0, 0)))
+    sv, si = mips_topk_pallas(
+        queries, padded, k, block=128, kb=8, q_chunk=256,
+        tile_n=512, tile_q=256, n_valid=n, interpret=True,
+    )
+    tv, ti = mips_topk_pallas(
+        queries, padded, k, block=128, kb=8, q_chunk=256,
+        tile_n=512, tile_q=256, n_valid=jnp.int32(n), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ti))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(tv))
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+
+
 def test_mips_topk_pallas_padding_masked():
     """Corpus not a tile multiple: padded rows/blocks must never surface."""
     rng = np.random.default_rng(2)
