@@ -80,7 +80,11 @@ def exact_topk(scores: jax.Array, k: int, *, group: int | None = None):
     scores: [..., C]; returns (values [..., k], indices [..., k] int32).
     """
     c = scores.shape[-1]
-    if c <= 4 * k:  # hierarchy not worth it
+    # v5e measurement (tools/topk_probe.py): an indexed lax.top_k costs ~7 ms
+    # nearly FLAT in width up to ~10k columns (the cost is the indices, not
+    # the scan), so the two-level hierarchy — TWO indexed top_ks — only pays
+    # off when the width is much larger than that plateau.
+    if c <= 4 * k or c <= 12288:
         vals, idx = jax.lax.top_k(scores, k)
         return vals, idx.astype(jnp.int32)
     if group is None:
@@ -271,16 +275,16 @@ def mips_topk(
             jax.default_backend() == "tpu" and d % 128 == 0 and not kw
         )
         if use_pallas:
-            from proqa_tpu.ops.pallas_mips import mips_topk_pallas
+            from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
 
             tile_q = 512 if q >= 512 else 256
             q_pad = (-q) % tile_q
             if q_pad:
                 queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
-            kb = max(k, 80) if k <= 80 else min(2 * k, 512)
-            vals, idx = mips_topk_pallas(
-                queries, corpus, k, block=64, kb=kb, tile_q=tile_q,
-                q_chunk=512 if queries.shape[0] % 512 == 0 else tile_q,
+            # block/group tuned on v5e at 4.2M x 128 (tools/mips_v2_bench.py:
+            # v1 59.8 -> v2 38.4 ms amortized; b32/g64 edges b32/g128)
+            vals, idx = mips_topk_pallas_v2(
+                queries, corpus, k, block=32, group=64, tile_q=tile_q,
                 n_valid=n_valid,
             )
             return vals[:q], idx[:q]

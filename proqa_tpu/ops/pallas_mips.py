@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from proqa_tpu.ops.mips import NEG_INF, exact_topk
+from proqa_tpu.ops.mips import NEG_INF, _precision, exact_topk
 
 
 def _bmax_kernel(qt_ref, c_ref, out_ref, *, block: int, tn: int, tq: int):
@@ -71,6 +71,193 @@ def block_maxima(
         ),
         interpret=interpret,
     )(qt, corpus)
+
+
+def _bmax3_kernel(qt_ref, c_ref, b3_ref, g_ref, *, block, tq, group):
+    """Grid (q_tiles, CG): each step scores one whole group (group*block
+    corpus rows) against a query tile and writes its block maxima [TQ, G]
+    plus the group max [1, 1, TQ]. Full-block writes only — Mosaic rejects
+    lane-dim dynamic slices that are not provably 128-aligned."""
+    s = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32)  # [G*B, TQ]
+    bm = jnp.max(s.reshape(group, block, tq), axis=1)                     # [G, TQ]
+    b3_ref[0] = bm.T
+    g_ref[0, 0] = jnp.max(bm, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "group", "tile_q", "interpret")
+)
+def block_maxima_grouped(
+    queries: jax.Array,     # [Q, D] (Q % tile_q == 0)
+    corpus: jax.Array,      # [N, D] (N % (group*block) == 0)
+    *,
+    block: int = 32,
+    group: int = 128,
+    tile_q: int = 512,
+    interpret: bool = False,
+):
+    """Fused scoring + two-level maxima, laid out for cheap per-query
+    gathering: bmax3 [CG, Q, G] (block maxima, G consecutive blocks per
+    group in the minor/lane axis) and gmax [CG, 1, Q] (per-group maxima).
+
+    The [CG, Q, G] layout makes the select-stage gather bmax3[g, q, :] a
+    contiguous-row gather (~free on TPU) instead of the strided column access
+    that made the round-1 [NB, Q] layout cost ~20 ms at the headline point.
+    """
+    q, d = queries.shape
+    n, d2 = corpus.shape
+    rows_per_group = group * block
+    assert d == d2 and q % tile_q == 0 and n % rows_per_group == 0
+    cg = n // rows_per_group
+    qt = queries.T
+
+    grid = (q // tile_q, cg)
+    kernel = functools.partial(_bmax3_kernel, block=block, tq=tile_q, group=group)
+    b3, g = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, tile_q), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows_per_group, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_q, group), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_q), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cg, q, group), jnp.float32),
+            jax.ShapeDtypeStruct((cg, 1, q), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d * corpus.dtype.itemsize + cg * q * (group + 1) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, corpus)
+    return b3, g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "group", "kb", "q_chunk", "tile_q", "interpret"),
+)
+def mips_topk_pallas_v2(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    *,
+    block: int = 32,
+    group: int = 128,
+    kb: int | None = None,
+    q_chunk: int | None = None,
+    tile_q: int = 512,
+    n_valid: int | None = None,
+    interpret: bool = False,
+):
+    """Exact MIPS top-k, round-2 pipeline. Three stages, each sized so the
+    dominant cost is ONE indexed lax.top_k (measured ~7 ms flat at Q=2048 on
+    v5e regardless of width <= ~10k; gathers and rescoring matmuls are
+    bandwidth-trivial by comparison — tools/topk_probe.py):
+
+      1. kernel: block maxima bmax3 [CG, Q, G] + group maxima gmax [CG, 1, Q]
+      2. select: top-kb groups from gmax.T, gather their block maxima
+         (contiguous rows), top-kb blocks among kb*G candidates
+      3. rescore: gather kb blocks x `block` rows, exact top-k (unchunked)
+
+    Exactness: hierarchical upper-bound argument at each level — any group /
+    block whose max exceeds the true k-th score contains a top-k row, so at
+    most k of them exist and top-kb (kb >= k) selection visits them all; ties
+    can swap equal-valued results only (see ops/mips.exact_topk docstring).
+    """
+    q, d = queries.shape
+    n0 = corpus.shape[0]
+    if n_valid is None:
+        n_valid = n0
+    rows_per_group = group * block
+    pad = (-n0) % rows_per_group
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    n = corpus.shape[0]
+    nb = n // block
+    cg = n // rows_per_group
+    if kb is None:
+        kb = k
+    kb_g = min(kb, cg)          # groups to visit
+    kb_b = min(kb, nb)          # blocks to visit
+    assert kb_g >= min(k, cg) and kb_b >= min(k, nb)
+
+    bmax3, gmax = block_maxima_grouped(
+        queries, corpus, block=block, group=group, tile_q=tile_q,
+        interpret=interpret,
+    )
+
+    static_aligned = isinstance(n_valid, int) and n_valid == n
+    if not static_aligned:
+        # mask blocks that lie entirely past n_valid; rescore the straddler
+        block_ids = (
+            jnp.arange(cg, dtype=jnp.int32)[:, None, None] * group
+            + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+        )                                                   # [CG, 1, G]
+        bmax3 = jnp.where(block_ids * block >= n_valid, NEG_INF, bmax3)
+        if not (isinstance(n_valid, int) and n_valid % block == 0):
+            sb = jnp.minimum(jnp.asarray(n_valid, jnp.int32) // block, nb - 1)
+            blk = jax.lax.dynamic_slice_in_dim(corpus, sb * block, block, axis=0)
+            s = jnp.einsum(
+                "bd,qd->qb", blk.astype(queries.dtype), queries,
+                preferred_element_type=jnp.float32,
+                precision=_precision(queries.dtype),
+            )                                               # [Q, block]
+            row_valid = (sb * block + jnp.arange(block)) < n_valid
+            patched = jnp.max(
+                jnp.where(row_valid[None, :], s, NEG_INF), axis=1
+            )                                               # [Q]
+            bmax3 = jax.lax.dynamic_update_slice(
+                bmax3, patched[None, :, None], (sb // group, 0, sb % group)
+            )
+        gmax = jnp.max(bmax3, axis=-1)[:, None, :]          # recompute masked
+
+    _, top_groups = jax.lax.top_k(gmax.reshape(cg, q).T, kb_g)   # [Q, kb_g]
+    top_groups = top_groups.astype(jnp.int32)
+
+    # block refine: contiguous-row gather of each query's candidate groups
+    q_iota = jnp.arange(q, dtype=jnp.int32)[:, None]
+    cand = bmax3[top_groups, q_iota]                        # [Q, kb_g, G]
+    _, sel = jax.lax.top_k(cand.reshape(q, kb_g * group), kb_b)
+    gsel = jnp.take_along_axis(top_groups, sel // group, axis=1)
+    top_blocks = gsel * group + sel % group                 # [Q, kb_b]
+
+    # rescore: exact top-k among the kb_b * block candidate rows
+    corpus_blocks = corpus.reshape(nb, block, d)
+
+    def chunk_topk(args):
+        q_emb, blocks_ids = args
+        qc = q_emb.shape[0]
+        candr = jnp.take(corpus_blocks, blocks_ids, axis=0)      # [QC,kb,B,D]
+        s = jnp.einsum(
+            "qkbd,qd->qkb", candr.astype(q_emb.dtype), q_emb,
+            preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
+        ).reshape(qc, kb_b * block)
+        base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
+        flat_idx = base.reshape(qc, kb_b * block)
+        s = jnp.where(flat_idx < n_valid, s, NEG_INF)
+        vals, fin = jax.lax.top_k(s, k)
+        idx = jnp.take_along_axis(flat_idx, fin, axis=1)
+        return vals, idx.astype(jnp.int32)
+
+    if q_chunk is None or q <= q_chunk:
+        return chunk_topk((queries, top_blocks))
+    assert q % q_chunk == 0
+    qr = queries.reshape(q // q_chunk, q_chunk, d)
+    br = top_blocks.reshape(q // q_chunk, q_chunk, kb_b)
+    vals, idx = jax.lax.map(chunk_topk, (qr, br))
+    return vals.reshape(q, k), idx.reshape(q, k)
 
 
 @functools.partial(

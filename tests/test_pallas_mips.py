@@ -96,3 +96,89 @@ def test_mips_topk_pallas_padding_masked():
     )
     assert int(np.max(np.asarray(pi))) < n
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+# ---------------- v2 pipeline (round 2: bmax3 layout, 3-stage select) ----------------
+from proqa_tpu.ops.pallas_mips import block_maxima_grouped, mips_topk_pallas_v2
+
+
+def test_block_maxima_grouped_matches_numpy():
+    rng = np.random.default_rng(10)
+    q, n, d, block, group = 256, 8192, 128, 32, 64   # rows/group=2048, k_sub=4
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    corpus = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    b3, g = block_maxima_grouped(
+        queries, corpus, block=block, group=group, tile_q=256, interpret=True
+    )
+    scores = np.asarray(queries) @ np.asarray(corpus).T            # [Q, N]
+    nb, cg = n // block, n // (block * group)
+    bm = scores.reshape(q, nb, block).max(-1)                      # [Q, NB]
+    want_b3 = bm.reshape(q, cg, group).transpose(1, 0, 2)          # [CG, Q, G]
+    want_g = want_b3.max(-1)[:, None, :]                           # [CG, 1, Q]
+    np.testing.assert_allclose(np.asarray(b3), want_b3, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("block,group", [(32, 64), (64, 32)])
+def test_mips_topk_pallas_v2_exact(block, group):
+    rng = np.random.default_rng(11)
+    q, n, d, k = 256, 8192, 128, 37
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    corpus = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    pv, pi = mips_topk_pallas_v2(
+        queries, corpus, k, block=block, group=group, tile_q=256, interpret=True
+    )
+    rv, ri, pv, pi = map(np.asarray, (rv, ri, pv, pi))
+    mismatch = ri != pi
+    np.testing.assert_allclose(pv, rv, rtol=1e-5, atol=1e-4)
+    assert (np.abs(pv[mismatch] - rv[mismatch]) < 1e-3).all()
+    assert mismatch.mean() < 0.001
+
+
+def test_mips_topk_pallas_v2_straddling_block_masked():
+    """Same adversarial setup as the v1 straddler test: zero-score pad rows in
+    the block/group straddling n_valid must not evict negative-score results."""
+    q, n, d, k, block, group = 256, 3000, 64, 4, 128, 4
+    emb = np.zeros((n, d), np.float32)
+    emb[:, 0] = -100.0
+    top_rows = [10, 200, 400, 900]
+    for rank, row in enumerate(top_rows):
+        emb[row, 0] = -float(rank + 1)
+    queries = np.zeros((q, d), np.float32)
+    queries[:, 0] = 1.0
+    pv, pi = mips_topk_pallas_v2(
+        jnp.asarray(queries), jnp.asarray(emb), k, block=block, group=group,
+        tile_q=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pi)[0], top_rows)
+    np.testing.assert_allclose(np.asarray(pv)[0], [-1.0, -2.0, -3.0, -4.0])
+
+
+def test_mips_topk_pallas_v2_traced_n_valid():
+    rng = np.random.default_rng(13)
+    q, n, d, k = 256, 2000, 64, 8
+    queries = jnp.asarray(np.abs(rng.standard_normal((q, d))), jnp.float32)
+    corpus = jnp.asarray(-np.abs(rng.standard_normal((n, d))), jnp.float32)
+    padded = jnp.pad(corpus, ((0, 48), (0, 0)))
+    kw = dict(block=128, group=4, tile_q=256, interpret=True)
+    sv, si = mips_topk_pallas_v2(queries, padded, k, n_valid=n, **kw)
+    tv, ti = mips_topk_pallas_v2(queries, padded, k, n_valid=jnp.int32(n), **kw)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ti))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(tv))
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+
+
+def test_mips_topk_pallas_v2_padding_masked():
+    rng = np.random.default_rng(12)
+    q, n, d, k = 256, 3000, 64, 16
+    queries_pos = jnp.asarray(np.abs(rng.standard_normal((q, d))), jnp.float32)
+    corpus = jnp.asarray(-np.abs(rng.standard_normal((n, d))), jnp.float32)
+    rv, ri = mips_topk_reference(queries_pos, corpus, k)
+    pv, pi = mips_topk_pallas_v2(
+        queries_pos, corpus, k, block=128, group=4, kb=32,
+        tile_q=256, interpret=True,
+    )
+    assert int(np.max(np.asarray(pi))) < n
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))

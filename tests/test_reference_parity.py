@@ -184,3 +184,78 @@ def test_reference_pipeline_parity(world, capsys):
         assert recalls[f"recall@{k}"] == ref_recalls[k], (
             f"recall@{k}: proqa {recalls[f'recall@{k}']} != reference {ref_recalls[k]}"
         )
+
+
+def test_spanbert_reader_path(tmp_path):
+    """The reference's --use-spanbert option is `BertModel.from_pretrained(
+    spanbert_path)` as the reader tower + cased tokenization in the sampler
+    (/root/reference/qa/bert_retrieve_qa.py:24-25, online_sampler.py:68-72).
+    Exercise our equivalent end to end: a random-weight torch BertModel
+    ("SpanBERT stand-in") -> `proqa convert-hf --kind bert` -> loaded as the
+    QA reader tower -> numerically identical reader forward (with QA segment
+    ids), plus the --cased tokenizer wiring."""
+    import jax
+    import jax.numpy as jnp
+
+    from proqa_tpu.models.bert import BertConfig, bert_encoder
+
+    cfg = BertConfig.tiny(dtype=jnp.float32)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(11)
+    spanbert = transformers.BertModel(hf_cfg)
+    spanbert.eval()
+    pt = str(tmp_path / "spanbert.pt")
+    torch.save(spanbert.state_dict(), pt)
+
+    # cased vocab: case-distinct wordpieces must survive --cased
+    vocab = tmp_path / "vocab_cased.txt"
+    vocab.write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "Apple", "apple", "pie"])
+    )
+    out = str(tmp_path / "spanbert.msgpack")
+    main([
+        "convert-hf", "--vocab", str(vocab), "--cased", "--tiny",
+        "--torch-checkpoint", pt, "--kind", "bert", "--output", out,
+    ])
+
+    # load exactly the way finetune-qa --reader-path does (cli/main.py:309-316)
+    from proqa_tpu.cli.main import _load_params
+    from proqa_tpu.models.bert import init_bert_params
+
+    reader = _load_params(out, init_bert_params(jax.random.PRNGKey(0), cfg))
+
+    # reader forward with QA-style [CLS]q[SEP]p[SEP] segment ids
+    rng = np.random.default_rng(4)
+    b, t = 2, 16
+    ids = rng.integers(1, cfg.vocab_size, (b, t))
+    mask = (np.arange(t)[None, :] < np.array([[12], [16]])).astype(np.int32)
+    ids = ids * mask
+    segs = np.zeros_like(ids)
+    segs[:, 6:] = 1
+    with torch.no_grad():
+        want = spanbert(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            token_type_ids=torch.tensor(segs),
+        ).last_hidden_state.numpy()
+    seq, _ = bert_encoder(
+        reader, cfg, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(segs)
+    )
+    m = mask[..., None].astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(seq, np.float32) * m, want * m, atol=1e-3, rtol=0
+    )
+
+    # --cased tokenizer: case is preserved (uncased would fold Apple->apple)
+    from proqa_tpu.text.wordpiece import BertTokenizer
+
+    tok_cased = BertTokenizer.from_vocab_file(str(vocab), do_lower_case=False)
+    tok_uncased = BertTokenizer.from_vocab_file(str(vocab), do_lower_case=True)
+    assert tok_cased.tokenize("Apple pie") == ["Apple", "pie"]
+    assert tok_uncased.tokenize("Apple pie") == ["apple", "pie"]
