@@ -70,9 +70,9 @@ def _add_common(p):
     p.add_argument("--max-seq-length", type=int, default=512)
     p.add_argument("--max-query-length", type=int, default=30)
     p.add_argument("--flash-attention", action="store_true", default=None,
-                   help="fused attention kernel (default on for encode/index "
-                        "commands where it is exact; opt-in for training — "
-                        "attention-prob dropout is skipped on this path)")
+                   help="fused attention kernel (ops/pallas_attention.py; "
+                        "default on for encode/index commands; supports "
+                        "in-kernel attention-prob dropout for training)")
     p.add_argument("--no-remat", dest="remat", action="store_false", default=True)
     p.add_argument("--f32", action="store_true",
                    help="float32 activations + index scoring (bit-reproducible "

@@ -41,10 +41,13 @@ class BertConfig:
                          # (jax.checkpoint over the layer scan; trades ~30%
                          # FLOPs for O(1)-in-depth activation memory, the TPU
                          # analogue of the reference's apex O1 memory savings)
-    flash_attention: bool = False  # fused Pallas flash-attention kernel
-                                   # (padding handled via segment ids; NOTE:
-                                   # attention-prob dropout is not applied on
-                                   # this path). Requires TPU and seq % 128 == 0.
+    flash_attention: bool = False  # fused Pallas attention kernel
+                                   # (ops/pallas_attention.py): softmax +
+                                   # attention-prob dropout + PV in one VMEM
+                                   # pass, dropout mask regenerated in the
+                                   # backward kernel from the hardware PRNG.
+                                   # Applies to seq % 128 == 0 (<= 1024);
+                                   # other lengths fall back to vanilla.
 
     @property
     def head_dim(self) -> int:
@@ -142,7 +145,7 @@ def _dropout(x: jax.Array, rate: float, rng, deterministic: bool) -> jax.Array:
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic, segments=None):
+def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic, key_mask=None):
     b, t, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
@@ -153,29 +156,21 @@ def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic, segmen
     k = heads(_dense(x, p["k"]))
     v = heads(_dense(x, p["v"]))
 
-    # flash kernel needs block-divisible sequence lengths; other shapes fall
+    # fused kernel needs block-divisible sequence lengths; other shapes fall
     # back to the vanilla path transparently
-    if cfg.flash_attention and segments is not None and t % 128 == 0:
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes, SegmentIds, flash_attention,
-        )
+    if cfg.flash_attention and key_mask is not None and t % 128 == 0 and t <= 1024:
+        from proqa_tpu.ops.pallas_attention import fused_attention
 
-        # measured on v5e: the library defaults are ~4x slower than full-seq
-        # blocks at seq 512
-        blk = min(t, 512)
-        block_sizes = BlockSizes(
-            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-            block_q_major_dkv=blk, block_k_major_dkv=blk,
-            block_k_dkv=blk, block_q_dkv=blk,
-            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
-        )
-        ctx = flash_attention(
+        rate = 0.0 if deterministic else cfg.attention_dropout
+        ctx = fused_attention(
             q.transpose(0, 2, 1, 3),  # [B, H, T, D]
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
-            segment_ids=SegmentIds(q=segments, kv=segments),
+            key_mask,
             sm_scale=1.0 / math.sqrt(hd),
-            block_sizes=block_sizes,
+            dropout_rate=rate,
+            dropout_rng=drop_rng if rate > 0.0 else None,
+            interpret=jax.default_backend() != "tpu",
         ).transpose(0, 2, 1, 3)
         return _dense(ctx.reshape(b, t, h).astype(x.dtype), p["attn_out"])
 
@@ -231,15 +226,15 @@ def bert_encoder(
 
     # Additive attention bias in fp32: 0 where attended, -1e30 where masked.
     mask_bias = jnp.where(attention_mask[:, None, None, :] != 0, 0.0, -1e30).astype(jnp.float32)
-    # flash path: padding isolated via segment ids (pad tokens form their own
-    # segment and can never attend to / be attended by real tokens)
-    segments = (attention_mask != 0).astype(jnp.int32) if cfg.flash_attention else None
+    # fused-attention path: key-padding mask applied in-kernel (same additive
+    # -1e30 bias as the vanilla path — bitwise-equivalent masking)
+    key_mask = attention_mask.astype(jnp.int32) if cfg.flash_attention else None
 
     layer_rngs = jax.random.split(dropout_rng, cfg.num_layers * 3).reshape(cfg.num_layers, 3, -1)
 
     def layer_body(x, scanned):
         layer_p, rngs = scanned
-        attn = _attention(x, mask_bias, layer_p, cfg, rngs[0], deterministic, segments)
+        attn = _attention(x, mask_bias, layer_p, cfg, rngs[0], deterministic, key_mask)
         attn = _dropout(attn, cfg.hidden_dropout, rngs[1], deterministic)
         x = _layer_norm(x + attn, layer_p["attn_ln"], cfg.layer_norm_eps)
         mlp = _dense(x, layer_p["mlp_in"])
