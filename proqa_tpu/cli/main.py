@@ -91,7 +91,7 @@ def cmd_pretrain_retriever(args):
     from proqa_tpu.models.retriever import init_retriever_params
     from proqa_tpu.train.retriever_trainer import RetrieverTrainer, RetrieverTrainerConfig
 
-    cfg = _bert_cfg(args)
+    cfg = _bert_cfg(args, flash_default=True)  # fused kernel beats library flash AND applies attention dropout (446 vs 500 ms step)
     tok = _tokenizer(args)
     tcfg = RetrieverTrainerConfig(
         learning_rate=args.learning_rate,
@@ -205,7 +205,7 @@ def cmd_eval_retrieval(args):
         from proqa_tpu.index.build import encode_corpus
         from proqa_tpu.models.retriever import init_retriever_params
 
-        cfg = _bert_cfg(args)
+        cfg = _bert_cfg(args, flash_default=True)
         params = _load_params(
             args.init_checkpoint, init_retriever_params(jax.random.PRNGKey(0), cfg)
         )
@@ -268,7 +268,7 @@ def _qa_setup(args):
     from proqa_tpu.qa.sampler import OnlineSampler, OnlineSamplerConfig
     from proqa_tpu.train.qa_trainer import QATrainer, QATrainerConfig
 
-    cfg = _bert_cfg(args)
+    cfg = _bert_cfg(args, flash_default=True)  # in-kernel attention dropout: training parity at flash speed
     tok = _tokenizer(args)
     qcfg = QAConfig(
         shared_norm=args.shared_norm, separate=args.separate,

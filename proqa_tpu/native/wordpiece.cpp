@@ -3,11 +3,19 @@
 // The reference tokenizes millions of paragraphs in Python through
 // transformers.BertTokenizer inside Dataset.__getitem__
 // (/root/reference/retrieval/datasets.py:96-101); at TPU encode throughput the
-// host tokenizer becomes the bottleneck. This implements the ASCII fast path
-// of BERT basic+wordpiece tokenization (clean -> whitespace split -> lower ->
-// punct split -> greedy longest-match wordpiece) with exact parity to
-// proqa_tpu/text/{basic,wordpiece}.py; non-ASCII strings are routed to the
-// Python implementation by the binding layer.
+// host tokenizer becomes the bottleneck. This implements BERT basic+wordpiece
+// tokenization (clean -> whitespace split -> lower+strip-accents -> punct
+// split -> greedy longest-match wordpiece) for the full Basic Multilingual
+// Plane with exact parity to proqa_tpu/text/{basic,wordpiece}.py.
+//
+// Unicode handling: the Python binding precomputes per-codepoint tables from
+// the same `unicodedata` the pure-Python path uses — classification flags
+// (whitespace/control/punctuation per BERT rules) and, for the lowercase
+// mode, the composed strip_accents(lower(ch)) mapping. Codepoints whose
+// behavior is not per-character (final sigma, multi-char case foldings,
+// Hangul NFD expansion, reorderable kept combiners) are flagged and routed
+// to the Python fallback, as are astral (> BMP) codepoints and malformed
+// UTF-8. ASCII text takes the same unified path at full speed.
 //
 // C ABI (ctypes): see proqa_tpu/native/wordpiece.py.
 
@@ -19,43 +27,93 @@
 
 namespace {
 
+constexpr uint8_t kWs = 1;         // whitespace (Zs + \t\n\r + ' ')
+constexpr uint8_t kCtrl = 2;       // dropped by clean_text (C* cats, \0, FFFD)
+constexpr uint8_t kPunct = 4;      // BERT punctuation (ASCII ranges + P*)
+constexpr uint8_t kFallback = 8;   // always needs the Python path
+constexpr uint8_t kLowerFallback = 16;  // needs Python only when lowercasing
+
+constexpr int32_t kMapDelete = -2;      // lower+strip maps to empty
+constexpr size_t kBmp = 0x10000;
+constexpr size_t kMaxCharsPerWord = 100;  // WordpieceTokenizer.max_chars_per_word
+
 struct Tokenizer {
   std::unordered_map<std::string, int32_t> vocab;
   int32_t unk_id = 0;
   bool lower = true;
-  size_t max_chars_per_word = 100;
+  std::vector<uint8_t> flags;   // [kBmp]
+  std::vector<int32_t> lowmap;  // [kBmp]; valid when lower
 };
 
-inline bool is_ascii_ws(unsigned char c) {
-  return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+// Decodes one UTF-8 codepoint at p (null-terminated). Returns the codepoint
+// and advances *p past it, or returns -1 on malformed input.
+inline int32_t decode_utf8(const unsigned char** p) {
+  const unsigned char* s = *p;
+  unsigned char c = s[0];
+  if (c < 0x80) {
+    *p = s + 1;
+    return c;
+  }
+  int n;
+  int32_t cp;
+  if ((c & 0xE0) == 0xC0) { n = 1; cp = c & 0x1F; }
+  else if ((c & 0xF0) == 0xE0) { n = 2; cp = c & 0x0F; }
+  else if ((c & 0xF8) == 0xF0) { n = 3; cp = c & 0x07; }
+  else return -1;
+  for (int i = 1; i <= n; ++i) {
+    if ((s[i] & 0xC0) != 0x80) return -1;
+    cp = (cp << 6) | (s[i] & 0x3F);
+  }
+  *p = s + n + 1;
+  return cp;
 }
 
-inline bool is_ascii_control(unsigned char c) {
-  // \t \n \r are whitespace, not control, per BERT rules
-  return (c < 0x20 && c != '\t' && c != '\n' && c != '\r') || c == 0x7f;
+inline void encode_utf8(int32_t cp, std::string* out) {
+  if (cp < 0x80) {
+    out->push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out->push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out->push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
 }
 
-inline bool is_ascii_punct(unsigned char c) {
-  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) ||
-         (c >= 123 && c <= 126);
-}
+// A word under construction: UTF-8 bytes + codepoint start offsets.
+struct Word {
+  std::string bytes;
+  std::vector<uint32_t> starts;
 
-// Greedy longest-match-first wordpiece of one word; appends ids.
-void wordpiece(const Tokenizer& t, const std::string& word,
-               std::vector<int32_t>* out) {
-  if (word.size() > t.max_chars_per_word) {
+  void push(int32_t cp) {
+    starts.push_back(static_cast<uint32_t>(bytes.size()));
+    encode_utf8(cp, &bytes);
+  }
+  size_t chars() const { return starts.size(); }
+  void clear() { bytes.clear(); starts.clear(); }
+};
+
+// Greedy longest-match-first wordpiece of one word; appends ids. Substring
+// boundaries are codepoint boundaries (matches the Python str slicing).
+void wordpiece(const Tokenizer& t, const Word& word, std::vector<int32_t>* out) {
+  size_t n = word.chars();
+  if (n > kMaxCharsPerWord) {
     out->push_back(t.unk_id);
     return;
   }
   std::vector<int32_t> pieces;
   size_t start = 0;
   std::string buf;
-  while (start < word.size()) {
-    size_t end = word.size();
+  auto off = [&](size_t i) {
+    return i < n ? word.starts[i] : static_cast<uint32_t>(word.bytes.size());
+  };
+  while (start < n) {
+    size_t end = n;
     int32_t piece = -1;
     while (start < end) {
       buf.assign(start > 0 ? "##" : "");
-      buf.append(word, start, end - start);
+      buf.append(word.bytes, off(start), off(end) - off(start));
       auto it = t.vocab.find(buf);
       if (it != t.vocab.end()) {
         piece = it->second;
@@ -78,9 +136,14 @@ void wordpiece(const Tokenizer& t, const std::string& word,
 extern "C" {
 
 // vocab_blob: newline-joined tokens, index = id.
-void* wp_create(const char* vocab_blob, int do_lower_case) {
+// flags/lowmap: per-BMP-codepoint tables built by the Python binding
+// (copied; the caller may free them after the call).
+void* wp_create(const char* vocab_blob, int do_lower_case,
+                const uint8_t* flags, const int32_t* lowmap) {
   auto* t = new Tokenizer();
   t->lower = do_lower_case != 0;
+  t->flags.assign(flags, flags + kBmp);
+  t->lowmap.assign(lowmap, lowmap + kBmp);
   const char* p = vocab_blob;
   int32_t id = 0;
   while (*p) {
@@ -100,37 +163,44 @@ void* wp_create(const char* vocab_blob, int do_lower_case) {
 
 void wp_destroy(void* handle) { delete static_cast<Tokenizer*>(handle); }
 
-// Tokenize ASCII text into wordpiece ids. Returns the token count (may
+// Tokenize UTF-8 text into wordpiece ids. Returns the token count (may
 // exceed max_out; only min(n, max_out) ids are written). Returns -1 if the
-// text contains non-ASCII bytes (caller must use the Python path).
+// text needs the Python path (astral codepoint, flagged codepoint, or
+// malformed UTF-8).
 int32_t wp_tokenize(void* handle, const char* text, int32_t* out,
                     int32_t max_out) {
   const Tokenizer& t = *static_cast<Tokenizer*>(handle);
   std::vector<int32_t> ids;
-  std::string word;
+  Word word;
   auto flush_word = [&]() {
-    if (!word.empty()) {
+    if (word.chars() > 0) {
       wordpiece(t, word, &ids);
       word.clear();
     }
   };
-  for (const unsigned char* p = reinterpret_cast<const unsigned char*>(text);
-       *p; ++p) {
-    unsigned char c = *p;
-    if (c >= 0x80) return -1;  // non-ASCII: python fallback
-    if (c == 0 || is_ascii_control(c)) continue;
-    if (is_ascii_ws(c)) {
+  const unsigned char* p = reinterpret_cast<const unsigned char*>(text);
+  while (*p) {
+    int32_t cp = decode_utf8(&p);
+    if (cp < 0 || cp >= static_cast<int32_t>(kBmp)) return -1;
+    uint8_t f = t.flags[cp];
+    if (f & kFallback) return -1;
+    if (t.lower && (f & kLowerFallback)) return -1;
+    if (f & kCtrl) continue;          // clean_text: dropped
+    if (f & kWs) {                    // clean_text + whitespace split
       flush_word();
       continue;
     }
-    if (is_ascii_punct(c)) {
+    if (t.lower) {
+      cp = t.lowmap[cp];              // strip_accents(lower(ch)), single cp
+      if (cp == kMapDelete) continue;
+    }
+    if (t.flags[cp] & kPunct) {       // punct split AFTER the transform
       flush_word();
-      word.push_back(static_cast<char>(c));
+      word.push(cp);
       flush_word();
       continue;
     }
-    word.push_back(t.lower ? static_cast<char>(tolower(c))
-                           : static_cast<char>(c));
+    word.push(cp);
   }
   flush_word();
   int32_t n = static_cast<int32_t>(ids.size());

@@ -1,12 +1,22 @@
-"""ctypes binding for the C++ wordpiece tokenizer (ASCII fast path).
+"""ctypes binding for the C++ wordpiece tokenizer (UTF-8, BMP-complete).
 
 Builds libproqa_wp.so on first use (g++ -O2), caches it next to the source.
 The binary is NOT version-controlled: a source hash stored beside it gates
 reuse, so the loaded library always corresponds to the checked-in .cpp (an
 unauditable stale/foreign binary can never shadow the source).
+
+Per-codepoint unicode tables (classification flags + the composed
+strip_accents(lower(ch)) map) are generated here from the SAME `unicodedata`
+the pure-Python path uses, so the two paths cannot drift. Codepoints whose
+tokenization is not per-character route to the Python fallback:
+
+* U+03A3 GREEK CAPITAL SIGMA — str.lower() is context-sensitive (final sigma)
+* multi-codepoint case foldings / NFD expansions (e.g. Hangul syllables)
+* kept (non-Mn) combining marks, where NFD canonical reordering is non-local
+* astral (> BMP) codepoints and malformed UTF-8
+
 `NativeWordpiece.tokenize` returns wordpiece *strings* (converting back from
-ids via the vocab) so it is a drop-in for the Python tokenizer; non-ASCII
-inputs transparently fall back to the Python implementation.
+ids via the vocab) so it is a drop-in for the Python tokenizer.
 """
 from __future__ import annotations
 
@@ -20,6 +30,10 @@ _SRC = os.path.join(os.path.dirname(__file__), "wordpiece.cpp")
 _LIB = os.path.join(os.path.dirname(__file__), "libproqa_wp.so")
 _HASH = _LIB + ".srchash"
 _BUILD_LOCK = threading.Lock()
+
+_BMP = 0x10000
+_WS, _CTRL, _PUNCT, _FALLBACK, _LOWER_FALLBACK = 1, 2, 4, 8, 16
+_MAP_DELETE = -2
 
 
 def _src_digest() -> str:
@@ -44,6 +58,62 @@ def _build() -> str:
 
 
 _lib = None
+_tables = None
+
+
+def _build_tables():
+    """(flags uint8[BMP], lowmap int32[BMP]) — mirrors text/chars.py exactly."""
+    import unicodedata
+
+    import numpy as np
+
+    from proqa_tpu.text.chars import (
+        is_control, is_punctuation, is_whitespace, strip_accents,
+    )
+
+    flags = np.zeros(_BMP, np.uint8)
+    lowmap = np.arange(_BMP, dtype=np.int32)
+    for cp in range(_BMP):
+        ch = chr(cp)
+        f = 0
+        if cp == 0 or cp == 0xFFFD or is_control(ch):
+            f |= _CTRL
+        elif is_whitespace(ch):
+            f |= _WS
+        if is_punctuation(ch):
+            f |= _PUNCT
+        cat = unicodedata.category(ch)
+        if cat == "Cs":  # lone surrogate — cannot appear in valid UTF-8
+            f |= _FALLBACK
+        # kept combining marks can reorder non-locally under NFD
+        if cat in ("Mc", "Me") or (unicodedata.combining(ch) and cat != "Mn"):
+            f |= _FALLBACK
+        if not (f & (_CTRL | _WS)):
+            if cp == 0x3A3:  # capital sigma: lower() is context-sensitive
+                f |= _LOWER_FALLBACK
+            else:
+                out = strip_accents(ch.lower())
+                if len(out) == 1 and ord(out) < _BMP:
+                    o = ord(out)
+                    # output with a kept nonzero combining class could
+                    # reorder with neighbors under the word-level NFD
+                    if unicodedata.combining(out) and \
+                            unicodedata.category(out) != "Mn":
+                        f |= _LOWER_FALLBACK
+                    lowmap[cp] = o
+                elif len(out) == 0:
+                    lowmap[cp] = _MAP_DELETE
+                else:  # multi-codepoint (ligatures, Hangul NFD, etc.)
+                    f |= _LOWER_FALLBACK
+        flags[cp] = f
+    return flags, lowmap
+
+
+def _get_tables():
+    global _tables
+    if _tables is None:
+        _tables = _build_tables()
+    return _tables
 
 
 def _load():
@@ -51,7 +121,10 @@ def _load():
     if _lib is None:
         lib = ctypes.CDLL(_build())
         lib.wp_create.restype = ctypes.c_void_p
-        lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.wp_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.wp_destroy.argtypes = [ctypes.c_void_p]
         lib.wp_tokenize.restype = ctypes.c_int32
         lib.wp_tokenize.argtypes = [
@@ -65,12 +138,17 @@ def _load():
 class NativeWordpiece:
     def __init__(self, vocab: dict, do_lower_case: bool = True):
         lib = _load()
+        flags, lowmap = _get_tables()
         blob = "\n".join(vocab.keys()).encode("utf-8")
         self._lib = lib
-        self._handle = lib.wp_create(blob, int(do_lower_case))
+        self._handle = lib.wp_create(
+            blob, int(do_lower_case),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lowmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
         self._id_to_token = {i: t for t, i in vocab.items()}
         self._buf = (ctypes.c_int32 * 8192)()
-        # python fallback for non-ASCII
+        # python fallback for the flagged codepoints
         from proqa_tpu.text.basic import BasicTokenizer
         from proqa_tpu.text.wordpiece import WordpieceTokenizer
 
@@ -91,8 +169,8 @@ class NativeWordpiece:
 
     def tokenize(self, text: str) -> list[str]:
         try:
-            raw = text.encode("ascii")
-        except UnicodeEncodeError:
+            raw = text.encode("utf-8")
+        except UnicodeEncodeError:  # lone surrogates in the str
             return self._py_tokenize(text)
         if b"\x00" in raw:
             return self._py_tokenize(text)

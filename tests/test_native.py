@@ -1,5 +1,6 @@
-"""Native C++ wordpiece: exact parity with the Python tokenizer (ASCII fast
-path + fallback), fuzz-tested, plus a sanity speed check."""
+"""Native C++ wordpiece: exact parity with the Python tokenizer (UTF-8
+BMP-complete path + flagged-codepoint fallback), fuzz-tested, plus a sanity
+speed check."""
 import random
 import string
 import time
@@ -42,9 +43,66 @@ def test_native_matches_python_basic(pair):
         assert native.tokenize(s) == pure.tokenize(s), repr(s)
 
 
-def test_native_fallback_non_ascii(pair):
+def test_native_unicode_parity(pair):
+    """Non-ASCII BMP text runs natively now (tables from unicodedata); the
+    results must match the pure-Python path exactly."""
     native, pure = pair
-    for s in ["naïve café", "héllo", "токен", "日本語 text"]:
+    cases = [
+        "naïve café", "héllo", "токен", "日本語 text",
+        "Zürich Üben ÄÖÜ ß strasse",          # Latin-1 accents + sharp s
+        "ĄŻÓŁĆ ąż źdźbło",                     # Latin Extended
+        "ΑΛΦΑΒΗΤΟ γράμμα",                     # Greek, non-final sigma forms
+        "ΟΔΥΣΣΕΥΣ",                            # capital sigma: final-sigma ctx
+        "Привет МИР ёлка",                      # Cyrillic
+        "İstanbul İstanbul",              # dotted capital I + combining
+        "á è́ ́",         # combining marks strip to base
+        "x y z",                      # unicode spaces (Zs)
+        "zero​width­hyphen",          # Cf controls are dropped
+        "�replacement\x00char",            # invalid chars dropped
+        "mixed ASCII + ünïcodé, twice! mixed ASCII + ünïcodé!",
+        "한국어 텍스트",                          # Hangul -> NFD multi -> fallback
+        "emoji 😀 astral",              # astral -> fallback
+    ]
+    for s in cases:
+        assert native.tokenize(s) == pure.tokenize(s), repr(s)
+
+
+def test_native_unicode_fuzz(pair):
+    """Random mixed ASCII/BMP strings, including combining marks, CJK, and
+    flagged codepoints — native must equal Python on every input."""
+    native, pure = pair
+    rng = random.Random(7)
+    pools = [
+        string.ascii_letters + string.digits + string.punctuation + "  \t",
+        "àáâäçèéêëñöüßÀÉÎÖÜ",
+        "αβγδεζΣσςΩω",
+        "абвгдежзиАБВГД",
+        "一二三中文字テストかタカ",
+        "̀́̈  ​",
+        "가냐더려",  # Hangul (fallback path)
+        "😀𝄞",  # astral (fallback path)
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 60)
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        assert native.tokenize(s) == pure.tokenize(s), repr(s)
+
+
+def test_native_cased_unicode_parity(pair, tmp_path):
+    """Cased mode (SpanBERT path): no lowercasing/accent stripping; unicode
+    classification still applies natively."""
+    vocab = tmp_path / "vocab_cased.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "Zürich", "Apple", "apple",
+         "Καλά", "##μέρα", "день"]
+    ))
+    native = BertTokenizer.from_vocab_file(str(vocab), do_lower_case=False)
+    if native._native is None:
+        pytest.skip("native tokenizer unavailable")
+    pure = BertTokenizer.from_vocab_file(str(vocab), do_lower_case=False)
+    pure._native = None
+    for s in ["Zürich Apple apple", "Καλάμέρα ΟΔΥΣΣΕΥΣ", "день день!",
+              "Zürich, Καλά: день"]:
         assert native.tokenize(s) == pure.tokenize(s), repr(s)
 
 
