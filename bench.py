@@ -70,6 +70,8 @@ def _bench_encode() -> dict:
     mask = jnp.ones((b, t), jnp.int32)
     fn = jax.jit(lambda p, i, m: encode_context(p, cfg, i, m))
     np.asarray(fn(params, ids, mask))  # compile
+    for _ in range(4):  # warm-up round (see _bench_train_step)
+        np.asarray(fn(params, ids, mask))
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -110,8 +112,14 @@ def _bench_train_step() -> dict:
     key = jax.random.PRNGKey(3)
     state, m = step(state, batch, key)  # compile
     float(m["loss"])
+    # full warm-up round: the first timed loop after compilation reads ~50%
+    # high on this stack (tools/train_decomp4.py: 575 -> 375 ms for identical
+    # steps) — discard it before measuring
+    for i in range(6):
+        state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
+    float(m["loss"])
     times = []
-    for i in range(5):
+    for i in range(6):
         t0 = time.perf_counter()
         state, m = step(state, batch, jax.random.fold_in(key, i))
         float(m["loss"])

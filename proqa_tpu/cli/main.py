@@ -566,7 +566,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        # argv is None only on real command-line use; under tests (explicit
+        # argv) re-raise so pytest sees the original exception
+        if argv is None:
+            filename = e.filename or str(e)
+            sys.exit(f"proqa: file not found: {filename}\n"
+                     f"  (while running '{args.cmd}' — check the path arguments)")
+        raise
+    except IsADirectoryError as e:
+        if argv is None:
+            sys.exit(f"proqa: expected a file, got a directory: {e.filename}")
+        raise
 
 
 if __name__ == "__main__":

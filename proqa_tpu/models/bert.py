@@ -140,6 +140,17 @@ def _dense(x: jax.Array, p: Params) -> jax.Array:
 def _dropout(x: jax.Array, rate: float, rng, deterministic: bool) -> jax.Array:
     if deterministic or rate == 0.0:
         return x
+    # TPU: fused hardware-PRNG dropout (single pass, mask regenerated in
+    # backward — tools/train_decomp.py measured the jax.random path at ~200ms
+    # of a 572ms train step). CPU/odd shapes: plain bernoulli masking.
+    if (
+        jax.default_backend() == "tpu"
+        and x.shape[-1] % 128 == 0
+        and (x.size // x.shape[-1]) % 8 == 0
+    ):
+        from proqa_tpu.ops.pallas_dropout import pallas_dropout
+
+        return pallas_dropout(x, rng, rate)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -117,9 +117,9 @@ def qa_forward(
         deterministic=deterministic, dropout_rng=r_bert,
     )
     if not deterministic and qcfg.qa_drop > 0.0:
-        keep = 1.0 - qcfg.qa_drop
-        mask = jax.random.bernoulli(r_drop, keep, seq.shape)
-        seq = jnp.where(mask, seq / keep, 0.0).astype(seq.dtype)
+        from proqa_tpu.models.bert import _dropout
+
+        seq = _dropout(seq, qcfg.qa_drop, r_drop, deterministic)
 
     logits = _dense(seq, params["qa_outputs"])          # [B*k, L, 2] f32
     para_mask = flat(batch["paragraph_mask"])
