@@ -222,6 +222,48 @@ def cmd_eval_retrieval(args):
     print(json.dumps({f"recall@{k}": v for k, v in recalls.items()}))
 
 
+def cmd_retrieve(args):
+    """One-shot interactive retrieval: encode a question, search the index,
+    print the top-k paragraphs. (No reference analogue — quality-of-life on
+    top of the same encode->search path eval-retrieval uses.)"""
+    import jax
+
+    from proqa_tpu.data.docdb import DocDB
+    from proqa_tpu.index.dense import DenseIndex
+    from proqa_tpu.models.retriever import encode_query, init_retriever_params
+
+    import jax.numpy as jnp
+
+    cfg = _bert_cfg(args, flash_default=True)
+    tok = _tokenizer(args)
+    params = _load_params(
+        args.init_checkpoint, init_retriever_params(jax.random.PRNGKey(0), cfg)
+    )
+    index = DenseIndex.load(
+        args.index, dtype=jnp.float32 if args.f32 else jnp.bfloat16
+    )
+    db = DocDB(args.db) if args.db else None
+
+    ids = tok.encode(args.question, max_length=args.max_query_length)
+    ids = ids + [0] * (args.max_query_length - len(ids))
+    q = encode_query(
+        params, cfg, jnp.asarray([ids], jnp.int32),
+        jnp.asarray([[1 if t else 0 for t in ids]], jnp.int32),
+    )
+    vals, rows = index.search(q.astype(index.embeddings.dtype), args.topk)
+    vals, rows = np.asarray(vals)[0], np.asarray(rows)[0]
+    results = []
+    for score, row in zip(vals, rows):
+        rec = {"row": int(row), "score": round(float(score), 4)}
+        if index.id_map is not None:
+            rec["id"] = index.id_map[int(row)]
+            if db is not None:
+                text = db.get_doc_text(rec["id"])
+                rec["text"] = text[:300] if text else None
+        results.append(rec)
+    print(json.dumps({"question": args.question, "topk": results}, ensure_ascii=False))
+
+
 def cmd_cluster_corpus(args):
     from proqa_tpu.index.cluster import cluster_corpus_embeddings, write_cluster_shards
 
@@ -471,6 +513,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--f32", action="store_true",
                     help="float32 index scoring (parity runs)")
     sp.set_defaults(fn=cmd_eval_retrieval)
+
+    sp = sub.add_parser("retrieve", help="one-shot question -> top-k paragraphs")
+    _add_common(sp)
+    sp.add_argument("--question", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--init-checkpoint", required=True)
+    sp.add_argument("--db", default="", help="sqlite doc store (adds text previews)")
+    sp.add_argument("--topk", type=int, default=5)
+    sp.set_defaults(fn=cmd_retrieve)
 
     sp = sub.add_parser("cluster-corpus")
     sp.add_argument("--embeddings", required=True, help="pair-paragraph embeds .npy")

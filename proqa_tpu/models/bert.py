@@ -41,6 +41,10 @@ class BertConfig:
                          # (jax.checkpoint over the layer scan; trades ~30%
                          # FLOPs for O(1)-in-depth activation memory, the TPU
                          # analogue of the reference's apex O1 memory savings)
+    remat_policy: str | None = None  # name of a jax.checkpoint_policies
+                         # policy (e.g. "dots_with_no_batch_dims_saveable")
+                         # to save selected intermediates instead of
+                         # recomputing everything; None = full recompute
     flash_attention: bool = False  # fused Pallas attention kernel
                                    # (ops/pallas_attention.py): softmax +
                                    # attention-prob dropout + PV in one VMEM
@@ -256,7 +260,11 @@ def bert_encoder(
         return x, None
 
     if cfg.remat:
-        layer_body = jax.checkpoint(layer_body, prevent_cse=False)
+        policy = (
+            getattr(jax.checkpoint_policies, cfg.remat_policy)
+            if cfg.remat_policy else None
+        )
+        layer_body = jax.checkpoint(layer_body, prevent_cse=False, policy=policy)
     x, _ = jax.lax.scan(layer_body, x, (params["layers"], layer_rngs))
 
     pooled = jnp.tanh(_dense(x[:, 0, :], params["pooler"]).astype(jnp.float32)).astype(cfg.dtype)

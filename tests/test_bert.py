@@ -148,3 +148,26 @@ def test_remat_matches_no_remat():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
         g1, g2,
     )
+
+
+def test_remat_policy_matches_default(cfg, params):
+    """remat_policy (jax.checkpoint policy name) must not change outputs or
+    grads — only what gets saved vs recomputed. (The axon remote compiler
+    currently rejects dots policies on TPU — tools/remat_policy_ab.py — but
+    the feature is validated here on CPU and usable on other toolchains.)"""
+    import dataclasses
+
+    ids, mask = _batch(cfg, np.random.default_rng(5))
+    base = dataclasses.replace(cfg, remat=True)
+    pol = dataclasses.replace(cfg, remat=True, remat_policy="dots_saveable")
+
+    def loss(c):
+        return lambda p: jnp.sum(bert_encoder(p, c, ids, mask)[1] ** 2)
+
+    np.testing.assert_allclose(
+        float(loss(base)(params)), float(loss(pol)(params)), rtol=1e-6
+    )
+    g1 = jax.grad(loss(base))(params)
+    g2 = jax.grad(loss(pol))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -244,3 +244,24 @@ def test_cli_convert_trec_and_msmarco(tmp_path, capsys):
     main(["convert-msmarco", "--input", str(tmp_path / "m.json"),
           "--output", str(tmp_path / "m_out.jsonl")])
     assert json.loads(capsys.readouterr().out.strip())["qa_pairs"] == 1
+
+
+def test_cli_retrieve_one_shot(world, capsys):
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("pipeline test must run first")
+    main([
+        "retrieve", *_common(world),
+        "--question", "what is about tok3",
+        "--index", str(world / "index"),
+        "--init-checkpoint", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+        "--db", str(world / "docs.db"), "--topk", "3",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["question"] == "what is about tok3"
+    assert len(out["topk"]) == 3
+    hit = out["topk"][0]
+    assert {"row", "score", "id", "text"} <= set(hit)
+    assert hit["id"].startswith("p") and hit["text"]
+    # scores descending
+    scores = [r["score"] for r in out["topk"]]
+    assert scores == sorted(scores, reverse=True)
