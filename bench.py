@@ -115,7 +115,7 @@ def _bench_train_step() -> dict:
     # full warm-up round: the first timed loop after compilation reads ~50%
     # high on this stack (tools/train_decomp4.py: 575 -> 375 ms for identical
     # steps) — discard it before measuring
-    for i in range(6):
+    for i in range(12):
         state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
     float(m["loss"])
     times = []
