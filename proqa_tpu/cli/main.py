@@ -7,12 +7,14 @@ Subcommands (mapping to SURVEY.md §3 workloads):
   build-index          corpus -> dense index artifacts (§3.2)
   encode-queries       questions -> query embedding .npy (§3.2)
   eval-retrieval       recall@k over the index (§3.3)
+  retrieve             one-shot question -> top-k paragraphs
   cluster-corpus       k-means + per-cluster pretraining shards (group_paras)
   match-paras          weak-supervision gold-para matching (prepro_dense)
   finetune-qa          joint retrieve+read training (§3.4)
   eval-qa              EM eval with the rank/span alpha sweep
   convert-hf           torch BERT/retriever checkpoint -> our params
   convert-trec / convert-msmarco   dataset converters
+  build-db             jsonl corpus -> sqlite document store
 """
 from __future__ import annotations
 
