@@ -136,8 +136,10 @@ def main() -> None:
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
 
     rng = np.random.default_rng(0)
-    xb = rng.standard_normal((N, D)).astype(np.float32)
-    xq = rng.standard_normal((Q, D)).astype(np.float32)
+    # generate f32 directly: float64 gen + cast costs ~2x RAM and wall on
+    # this 1-core host (the driver's bench run shares it)
+    xb = rng.standard_normal((N, D), dtype=np.float32)
+    xq = rng.standard_normal((Q, D), dtype=np.float32)
 
     corpus = jax.device_put(jnp.asarray(xb, jnp.bfloat16))
     queries = jax.device_put(jnp.asarray(xq, jnp.bfloat16))
