@@ -163,7 +163,13 @@ def cluster_batch_order(
 
 
 class EncodeDataset:
-    """Inputs for corpus ("text") or query ("question") encoding."""
+    """Inputs for corpus ("text") or query ("question") encoding.
+
+    Pair-format rows are accepted too ("Paragraph"/"Question" fields): the
+    progressive-pretraining recipe encodes the TRAIN PAIR file's paragraphs
+    (one embedding per pair line) before clustering them — reference
+    group_paras.py:12-18 reads train_para_embed.npy aligned with
+    retrieve_train.txt lines."""
 
     def __init__(
         self,
@@ -183,7 +189,15 @@ class EncodeDataset:
 
     def __getitem__(self, index: int) -> list[int]:
         sample = self.data[index]
-        text = sample["question"] if self.is_query else sample["text"]
+        if self.is_query:
+            text = sample.get("question", sample.get("Question"))
+        else:
+            text = sample.get("text", sample.get("Paragraph"))
+        if text is None:
+            raise KeyError(
+                "row has neither 'text'/'Paragraph' (corpus/pair) nor "
+                f"'question'/'Question' fields: {list(sample)[:6]}"
+            )
         return self.tokenizer.encode(text, max_length=self.max_len)
 
     def batches(self, batch_size: int) -> Iterator[dict]:

@@ -47,9 +47,34 @@ class IVFIndex:
     def capacity(self) -> int:
         return self.slabs.shape[1]
 
+    # search gathers [Qchunk, nprobe, cap, D] slabs; cap the envelope so a
+    # large query batch chunks instead of silently OOMing HBM
+    GATHER_BUDGET_BYTES: int = 1 << 30
+
     def search(self, queries, k: int):
-        """Returns (values [Q, k] f32, original row indices [Q, k] i32)."""
+        """Returns (values [Q, k] f32, original row indices [Q, k] i32).
+
+        Query batches whose slab-gather envelope would exceed
+        GATHER_BUDGET_BYTES are processed in fixed-size chunks (the last
+        chunk padded, so at most two compiled shapes per (k, nprobe))."""
         q = jnp.asarray(queries, dtype=self.slabs.dtype)
+        qn = q.shape[0]
+        nprobe = min(self.nprobe, self.nlist)
+        per_q = nprobe * self.capacity * q.shape[1] * q.dtype.itemsize
+        chunk = max(8, int(self.GATHER_BUDGET_BYTES // max(per_q, 1)) // 8 * 8)
+        if qn <= chunk:
+            return self._search_call(q, k)
+        outs = []
+        for s in range(0, qn, chunk):
+            part = q[s : s + chunk]
+            if part.shape[0] < chunk:
+                part = jnp.pad(part, ((0, chunk - part.shape[0]), (0, 0)))
+            outs.append(self._search_call(part, k))
+        vals = jnp.concatenate([v for v, _ in outs])[:qn]
+        idx = jnp.concatenate([i for _, i in outs])[:qn]
+        return vals, idx
+
+    def _search_call(self, q, k: int):
         return _ivf_search(
             q, self.centroids, self.slabs, self.slab_rows,
             self.overflow, self.overflow_rows, k=k, nprobe=self.nprobe,

@@ -172,11 +172,16 @@ def _attention(x, mask_bias, p, cfg: BertConfig, drop_rng, deterministic, key_ma
     v = heads(_dense(x, p["v"]))
 
     # fused kernel needs block-divisible sequence lengths; other shapes fall
-    # back to the vanilla path transparently
-    if cfg.flash_attention and key_mask is not None and t % 128 == 0 and t <= 1024:
+    # back to the vanilla path transparently. Off-TPU it runs interpreted,
+    # where the PRNG returns zero bits — with dropout active that would keep
+    # everything scaled by 1/(1-rate) (silently wrong training math), so
+    # dropout training off-TPU also falls back to vanilla attention.
+    rate = 0.0 if deterministic else cfg.attention_dropout
+    fused_ok = rate == 0.0 or jax.default_backend() == "tpu"
+    if cfg.flash_attention and key_mask is not None and t % 128 == 0 \
+            and t <= 1024 and fused_ok:
         from proqa_tpu.ops.pallas_attention import fused_attention
 
-        rate = 0.0 if deterministic else cfg.attention_dropout
         ctx = fused_attention(
             q.transpose(0, 2, 1, 3),  # [B, H, T, D]
             k.transpose(0, 2, 1, 3),

@@ -99,7 +99,10 @@ def qa_forward(
     """Forward over a [B, k, L] reader batch.
 
     batch keys: input_ids/input_mask/segment_ids/paragraph_mask [B,k,L],
-    input_ids_q/input_mask_q [B,Tq], para_embed [B,M,D].
+    input_ids_q/input_mask_q [B,Tq], and the rank-head candidates as either
+    para_embed [B,M,D] (host-materialized) or para_rows [B,M] + corpus_emb
+    [N,D] (device-resident index gather — avoids shipping ~10 MB of
+    embeddings through the host per step; the tunnel moves ~105 MB/s).
     Returns start/end logits [B,k,L] (masked to paragraph tokens),
     rank_logits [B,M], q_embed [B,D], and select_logits [B,k] if enabled.
     """
@@ -130,8 +133,12 @@ def qa_forward(
         params["retriever"], cfg, batch["input_ids_q"], batch["input_mask_q"],
         deterministic=deterministic, dropout_rng=r_q,
     )                                                    # [B, D] f32
+    if "para_embed" in batch:
+        para_embed = batch["para_embed"]
+    else:
+        para_embed = jnp.take(batch["corpus_emb"], batch["para_rows"], axis=0)
     rank_logits = jnp.einsum(
-        "bd,bmd->bm", q_embed, batch["para_embed"].astype(q_embed.dtype),
+        "bd,bmd->bm", q_embed, para_embed.astype(q_embed.dtype),
         preferred_element_type=jnp.float32,
     )
 

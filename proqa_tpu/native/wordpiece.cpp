@@ -27,11 +27,14 @@
 
 namespace {
 
-constexpr uint8_t kWs = 1;         // whitespace (Zs + \t\n\r + ' ')
+constexpr uint8_t kWs = 1;         // BERT whitespace (Zs + \t\n\r + ' ')
 constexpr uint8_t kCtrl = 2;       // dropped by clean_text (C* cats, \0, FFFD)
 constexpr uint8_t kPunct = 4;      // BERT punctuation (ASCII ranges + P*)
 constexpr uint8_t kFallback = 8;   // always needs the Python path
 constexpr uint8_t kLowerFallback = 16;  // needs Python only when lowercasing
+constexpr uint8_t kWs2 = 32;       // str.split()-only whitespace (Zl/Zp):
+                                   // splits tokens, but is NOT a word
+                                   // boundary in prepare_context
 
 constexpr int32_t kMapDelete = -2;      // lower+strip maps to empty
 constexpr size_t kBmp = 0x10000;
@@ -186,7 +189,7 @@ int32_t wp_tokenize(void* handle, const char* text, int32_t* out,
     if (f & kFallback) return -1;
     if (t.lower && (f & kLowerFallback)) return -1;
     if (f & kCtrl) continue;          // clean_text: dropped
-    if (f & kWs) {                    // clean_text + whitespace split
+    if (f & (kWs | kWs2)) {           // clean_text + whitespace split
       flush_word();
       continue;
     }
@@ -207,6 +210,116 @@ int32_t wp_tokenize(void* handle, const char* text, int32_t* out,
   int32_t w = n < max_out ? n : max_out;
   if (w > 0) memcpy(out, ids.data(), sizeof(int32_t) * w);
   return n;
+}
+
+// SQuAD prepare_context (proqa_tpu/text/squad.py:15-49; reference
+// qa/prepro_utils.py:62-175) in one native call: whitespace-word split +
+// char->word offsets + per-word BERT tokenize with piece->word maps.
+//
+// All positions are CODEPOINT indices (== Python str indices for BMP text).
+// Outputs:
+//   c2w[n_cp]        word index containing each char (-1 before first word)
+//   word_starts/word_lens[n_words]   doc_tokens spans in the original text
+//   o2t[n_words]     first piece index of each word
+//   t2o/piece_ids[n_pieces]          word index / wordpiece id per piece
+//   counts[3] = {n_cp, n_words, n_pieces}
+// Returns 0 on success, -1 when the text needs the Python path, -2 when a
+// capacity is too small (counts[] still report the required sizes).
+int32_t wp_prepare(void* handle, const char* text,
+                   int32_t* c2w, int32_t c2w_cap,
+                   int32_t* word_starts, int32_t* word_lens, int32_t* o2t,
+                   int32_t w_cap,
+                   int32_t* t2o, int32_t* piece_ids, int32_t p_cap,
+                   int32_t* counts) {
+  const Tokenizer& t = *static_cast<Tokenizer*>(handle);
+  std::vector<int32_t> cps;
+  const unsigned char* p = reinterpret_cast<const unsigned char*>(text);
+  while (*p) {
+    int32_t cp = decode_utf8(&p);
+    if (cp < 0 || cp >= static_cast<int32_t>(kBmp)) return -1;
+    uint8_t f = t.flags[cp];
+    if (f & kFallback) return -1;
+    if (t.lower && (f & kLowerFallback)) return -1;
+    cps.push_back(cp);
+  }
+  const int32_t n_cp = static_cast<int32_t>(cps.size());
+
+  int32_t n_words = 0, n_pieces = 0;
+  bool overflow = false;
+  bool in_word = false;
+  int32_t word_start = 0;
+
+  Word sub;  // wordpiece unit under construction (post clean/lower/punct)
+  std::vector<int32_t> ids;
+  auto flush_sub = [&]() {
+    if (sub.chars() > 0) {
+      wordpiece(t, sub, &ids);
+      sub.clear();
+    }
+  };
+  auto flush_word = [&](int32_t end_cp) {
+    if (!in_word) return;
+    // tokenize the word's codepoints (clean -> ws2 split -> lower -> punct
+    // split -> wordpiece), exactly wp_tokenize's inner loop
+    ids.clear();
+    for (int32_t i = word_start; i < end_cp; ++i) {
+      int32_t cp = cps[i];
+      uint8_t f = t.flags[cp];
+      if (f & kCtrl) continue;
+      if (f & (kWs | kWs2)) { flush_sub(); continue; }
+      if (t.lower) {
+        cp = t.lowmap[cp];
+        if (cp == kMapDelete) continue;
+      }
+      if (t.flags[cp] & kPunct) {
+        flush_sub();
+        sub.push(cp);
+        flush_sub();
+        continue;
+      }
+      sub.push(cp);
+    }
+    flush_sub();
+    if (n_words < w_cap) {
+      word_starts[n_words] = word_start;
+      word_lens[n_words] = end_cp - word_start;
+      o2t[n_words] = n_pieces;
+    } else {
+      overflow = true;
+    }
+    for (int32_t id : ids) {
+      if (n_pieces < p_cap) {
+        t2o[n_pieces] = n_words;
+        piece_ids[n_pieces] = id;
+      } else {
+        overflow = true;
+      }
+      ++n_pieces;
+    }
+    ++n_words;
+    in_word = false;
+  };
+
+  for (int32_t i = 0; i < n_cp; ++i) {
+    if (t.flags[cps[i]] & kWs) {     // BERT whitespace = word boundary
+      flush_word(i);
+    } else if (!in_word) {
+      in_word = true;
+      word_start = i;
+    }
+    if (i < c2w_cap) {
+      c2w[i] = in_word ? n_words : n_words - 1;
+    } else {
+      overflow = true;
+    }
+  }
+  flush_word(n_cp);
+
+  counts[0] = n_cp;
+  counts[1] = n_words;
+  counts[2] = n_pieces;
+  if (n_cp > c2w_cap) overflow = true;
+  return overflow ? -2 : 0;
 }
 
 }  // extern "C"

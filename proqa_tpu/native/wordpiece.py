@@ -33,6 +33,7 @@ _BUILD_LOCK = threading.Lock()
 
 _BMP = 0x10000
 _WS, _CTRL, _PUNCT, _FALLBACK, _LOWER_FALLBACK = 1, 2, 4, 8, 16
+_WS_SPLIT = 32   # str.split() whitespace that is NOT BERT whitespace (Zl/Zp)
 _MAP_DELETE = -2
 
 
@@ -80,6 +81,12 @@ def _build_tables():
             f |= _CTRL
         elif is_whitespace(ch):
             f |= _WS
+        elif ch.isspace():
+            # Zl/Zp (U+2028/U+2029): not BERT whitespace (Zs-only), but
+            # str.split() in whitespace_tokenize DOES split on them — a
+            # separate bit because prepare_context's word splitting uses the
+            # BERT set while tokenize's uses str.split()'s
+            f |= _WS_SPLIT
         if is_punctuation(ch):
             f |= _PUNCT
         cat = unicodedata.category(ch)
@@ -131,6 +138,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.wp_prepare.restype = ctypes.c_int32
+        lib.wp_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            i32p, ctypes.c_int32,                  # c2w
+            i32p, i32p, i32p, ctypes.c_int32,      # word_starts/lens/o2t
+            i32p, i32p, ctypes.c_int32,            # t2o/piece_ids
+            i32p,                                  # counts[3]
+        ]
         _lib = lib
     return _lib
 
@@ -181,3 +197,42 @@ class NativeWordpiece:
             self._buf = (ctypes.c_int32 * (n + 1024))()
             n = self._lib.wp_tokenize(self._handle, raw, self._buf, len(self._buf))
         return [self._id_to_token[self._buf[i]] for i in range(n)]
+
+    def prepare(self, text: str):
+        """SQuAD prepare_context in one native call (per-call buffers: safe
+        from sampler worker threads). Returns the text/squad.prepare_context
+        5-tuple, or None when the text needs the Python path."""
+        import numpy as np
+
+        try:
+            raw = text.encode("utf-8")
+        except UnicodeEncodeError:
+            return None
+        if b"\x00" in raw:
+            return None
+        cap = len(text) + 1   # n_cp == len(text) for BMP; pieces <= chars
+        bufs = [np.empty(cap, np.int32) for _ in range(6)]
+        c2w, ws, wl, o2t, t2o, pid = bufs
+        counts = (ctypes.c_int32 * 3)()
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        rc = self._lib.wp_prepare(
+            self._handle, raw,
+            ptr(c2w), cap, ptr(ws), ptr(wl), ptr(o2t), cap,
+            ptr(t2o), ptr(pid), cap, counts,
+        )
+        if rc != 0:
+            return None
+        n_cp, n_words, n_pieces = counts[0], counts[1], counts[2]
+        starts, lens = ws[:n_words].tolist(), wl[:n_words].tolist()
+        doc_tokens = [text[s : s + l] for s, l in zip(starts, lens)]
+        pieces = [self._id_to_token[i] for i in pid[:n_pieces].tolist()]
+        return (
+            doc_tokens,
+            c2w[:n_cp].tolist(),
+            o2t[:n_words].tolist(),
+            t2o[:n_pieces].tolist(),
+            pieces,
+        )

@@ -67,28 +67,37 @@ def _mask_padding(scores: jax.Array, n_valid) -> jax.Array:
     return jnp.where(valid[None, :], scores, NEG_INF)
 
 
-def exact_topk(scores: jax.Array, k: int, *, group: int | None = None):
-    """Exact top-k along the last axis, hierarchically: group-max -> top-k
-    groups -> top-k within the k selected groups. Replaces XLA's TopK (which
-    is O(70ms) at [2048, 16k] on v5e) with two small TopKs + a gather.
+def exact_topk(scores: jax.Array, k: int, *, group: int | None = None,
+               direct_width: int = 1024):
+    """Exact top-k along the last axis via a recursive group-max hierarchy:
+    group maxima -> (recursively) top-k groups -> top-k within the selected
+    groups' elements. Every individual lax.top_k call stays narrow.
 
-    Exactness: any row r in the true top-k has its group's max >= score(r)
-    >= v_k; any group ranked above r's group has max > score(r), hence holds
-    an element >= score(r); at most k such groups exist, so r's group is
-    among the top-k groups (ties can swap equal values only).
+    Why (measured IN-PIPELINE on v5e, tools/topk_cost_model.py — standalone
+    micro-benches are floored by the tunnel's fixed dispatch cost and
+    misled round 2's "~7 ms flat" model): indexed lax.top_k marginal cost at
+    Q=2048 is ~0 ms up to width 512, 0.4 ms @ 1024, 0.9 ms @ 2048, then
+    cliffs to 7.6 ms @ 5120 (VMEM tiling limit; values-only costs the SAME,
+    so the round-2 "the indices are the cost" theory is dead). Max-reductions
+    and row gathers are ~free, so recursing with a small group keeps every
+    sort under the cliff: [Q, 131072] resolves as widths 2048->256->640->...
+
+    Exactness (each level): any row r in the true top-k has its group's max
+    >= score(r) >= v_k; any group ranked above r's group has max > score(r),
+    hence holds an element >= score(r); at most k such groups exist, so r's
+    group is among the top-k groups (ties can swap equal values only).
 
     scores: [..., C]; returns (values [..., k], indices [..., k] int32).
     """
     c = scores.shape[-1]
-    # v5e measurement (tools/topk_probe.py): an indexed lax.top_k costs ~7 ms
-    # nearly FLAT in width up to ~10k columns (the cost is the indices, not
-    # the scan), so the two-level hierarchy — TWO indexed top_ks — only pays
-    # off when the width is much larger than that plateau.
-    if c <= 4 * k or c <= 12288:
+    if group is None:
+        group = 8
+    # direct when narrow enough, or when grouping cannot shrink the problem
+    # (c <= group*k: top-k groups already cover everything — also the
+    # recursion terminator: the gathered-candidates width is exactly group*k)
+    if c <= max(4 * k, direct_width) or c <= group * k:
         vals, idx = jax.lax.top_k(scores, k)
         return vals, idx.astype(jnp.int32)
-    if group is None:
-        group = max(8, 1 << int(math.sqrt(c / k)).bit_length())
     pad = (-c) % group
     if pad:
         scores = jnp.pad(scores, [(0, 0)] * (scores.ndim - 1) + [(0, pad)],
@@ -97,13 +106,17 @@ def exact_topk(scores: jax.Array, k: int, *, group: int | None = None):
     lead = scores.shape[:-1]
     grouped = scores.reshape(*lead, cg, group)
     gmax = jnp.max(grouped, axis=-1)                       # [..., CG]
-    _, top_groups = jax.lax.top_k(gmax, min(k, cg))        # [..., k]
+    _, top_groups = exact_topk(                            # recursive: narrow
+        gmax, min(k, cg), group=group, direct_width=direct_width
+    )
+    top_groups = top_groups.astype(jnp.int32)
     cand = jnp.take_along_axis(grouped, top_groups[..., None], axis=-2)
     cand = cand.reshape(*lead, -1)                         # [..., k*group]
-    vals, sel = jax.lax.top_k(cand, k)
+    vals, sel = exact_topk(cand, k, group=group, direct_width=direct_width)
     base = top_groups * group                              # [..., k]
     idx = jnp.take_along_axis(
-        (base[..., None] + jnp.arange(group)).reshape(*lead, -1), sel, axis=-1
+        (base[..., None] + jnp.arange(group)).reshape(*lead, -1),
+        sel.astype(jnp.int32), axis=-1,
     )
     return vals, idx.astype(jnp.int32)
 

@@ -209,7 +209,9 @@ def fused_attention(
     on-core hardware PRNG; regenerated, not stored, for backward).
 
     NOTE: the interpreter's prng_random_bits returns zeros, so dropout_rate>0
-    under interpret=True drops everything — use rate>0 only on real TPU.
+    under interpret=True keeps every position scaled by 1/(1-rate) for
+    rate<0.5 (the signed threshold is negative — nothing drops): silently
+    wrong training math. Use rate>0 only on real TPU.
     """
     bsz, nh, t, dh = q.shape
     assert t % 128 == 0 and t <= 1024, f"T={t} must be a multiple of 128, <= 1024"

@@ -146,7 +146,10 @@ def block_maxima_grouped(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block", "group", "kb", "q_chunk", "tile_q", "interpret"),
+    static_argnames=(
+        "k", "block", "group", "kb", "q_chunk", "tile_q", "interpret",
+        "fast_select",
+    ),
 )
 def mips_topk_pallas_v2(
     queries: jax.Array,
@@ -160,16 +163,21 @@ def mips_topk_pallas_v2(
     tile_q: int = 512,
     n_valid: int | None = None,
     interpret: bool = False,
+    fast_select: bool | tuple = True,
 ):
-    """Exact MIPS top-k, round-2 pipeline. Three stages, each sized so the
-    dominant cost is ONE indexed lax.top_k (measured ~7 ms flat at Q=2048 on
-    v5e regardless of width <= ~10k; gathers and rescoring matmuls are
-    bandwidth-trivial by comparison — tools/topk_probe.py):
+    """Exact MIPS top-k. Three stages:
 
       1. kernel: block maxima bmax3 [CG, Q, G] + group maxima gmax [CG, 1, Q]
       2. select: top-kb groups from gmax.T, gather their block maxima
          (contiguous rows), top-kb blocks among kb*G candidates
       3. rescore: gather kb blocks x `block` rows, exact top-k (unchunked)
+
+    Round-3: the three lax.top_k calls run through the recursive narrow-width
+    hierarchy of ops.mips.exact_topk — measured in-pipeline (tools/
+    topk_cost_model.py), top_k cost ramps from ~0 ms (width <= 512) to a
+    7.6 ms VMEM cliff at width 5120, so splitting each wide selection into
+    <=1024-wide levels makes the select stages ~free. `fast_select=False`
+    keeps the round-2 flat lax.top_k calls for A/B.
 
     Exactness: hierarchical upper-bound argument at each level — any group /
     block whose max exceeds the true k-th score contains a top-k row, so at
@@ -223,13 +231,16 @@ def mips_topk_pallas_v2(
             )
         gmax = jnp.max(bmax3, axis=-1)[:, None, :]          # recompute masked
 
-    _, top_groups = jax.lax.top_k(gmax.reshape(cg, q).T, kb_g)   # [Q, kb_g]
+    if not isinstance(fast_select, tuple):
+        fast_select = (fast_select,) * 3                    # per-stage ablation
+    _sels = [exact_topk if f else jax.lax.top_k for f in fast_select]
+    _, top_groups = _sels[0](gmax.reshape(cg, q).T, kb_g)   # [Q, kb_g]
     top_groups = top_groups.astype(jnp.int32)
 
     # block refine: contiguous-row gather of each query's candidate groups
     q_iota = jnp.arange(q, dtype=jnp.int32)[:, None]
     cand = bmax3[top_groups, q_iota]                        # [Q, kb_g, G]
-    _, sel = jax.lax.top_k(cand.reshape(q, kb_g * group), kb_b)
+    _, sel = _sels[1](cand.reshape(q, kb_g * group), kb_b)
     gsel = jnp.take_along_axis(top_groups, sel // group, axis=1)
     top_blocks = gsel * group + sel % group                 # [Q, kb_b]
 
@@ -247,7 +258,7 @@ def mips_topk_pallas_v2(
         base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
         flat_idx = base.reshape(qc, kb_b * block)
         s = jnp.where(flat_idx < n_valid, s, NEG_INF)
-        vals, fin = jax.lax.top_k(s, k)
+        vals, fin = _sels[2](s, k)
         idx = jnp.take_along_axis(flat_idx, fin, axis=1)
         return vals, idx.astype(jnp.int32)
 

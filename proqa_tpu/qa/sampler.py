@@ -70,6 +70,7 @@ class OnlineSampler:
         self.cfg = cfg
         self.simple = SimpleTokenizer()
         self.failed_retrieval = 0
+        self._pool = None  # persistent worker pool, created on first use
 
         self.qid2goldparas: dict | None = None
         if matched_para_path:
@@ -81,6 +82,28 @@ class OnlineSampler:
 
     def __len__(self) -> int:
         return len(self.qa_data)
+
+    def _workers(self):
+        """Persistent thread pool (a per-question-group pool pays spin-up
+        every batch — wrong shape for multi-core production hosts)."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                self.cfg.num_workers, thread_name_prefix="sampler"
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def shuffle(self, seed: int | None = None):
         random.Random(seed).shuffle(self.qa_data)
@@ -97,12 +120,21 @@ class OnlineSampler:
         embeds = np.asarray(query_encoder(ids, mask), np.float32)
         return embeds, q_ids
 
-    def _retrieve(self, questions: list[str], query_encoder: Callable, candidates: int | None = None):
+    def _retrieve(
+        self, questions: list[str], query_encoder: Callable,
+        candidates: int | None = None, gather_embeds: bool = True,
+    ):
         embeds, q_ids = self._encode_questions(questions, query_encoder)
         _, rows = self.index.search(
             embeds, candidates or self.cfg.candidates, exact=self.cfg.exact_search,
             q_pad=min(self.cfg.question_batch, 256),
         )
+        if not gather_embeds:
+            # train path: the reader gathers para_embed ON DEVICE from the
+            # resident index (qa_forward para_rows) — shipping [B, 5000, 128]
+            # embeddings through the host cost ~2x 10 MB per step on the
+            # ~105 MB/s tunnel
+            return q_ids, rows, None
         para_embeds = self.index.take(rows.reshape(-1)).reshape(
             rows.shape[0], rows.shape[1], -1
         )
@@ -138,15 +170,19 @@ class OnlineSampler:
         if top_labels.sum() == 0 and not any_covered:
             return None
 
-        return {
+        ex = {
             "qid": qid,
             "question": qa["question"],
             "answers": qa["answer"],
             "per_para": per_para,
             "top_labels": top_labels,
-            "para_embed": para_embed,  # full M candidates for the rank head
             "q_token_ids": q_token_ids,
         }
+        if para_embed is None:
+            ex["para_rows"] = np.asarray(cand_rows, np.int32)  # device gather
+        else:
+            ex["para_embed"] = para_embed  # full M candidates for the rank head
+        return ex
 
     def _tensorize_paragraph(self, q_token_ids: list[int], p: str, matched: list[str]):
         """Build [CLS] q [SEP] p [SEP] tensors plus span targets for one
@@ -213,8 +249,11 @@ class OnlineSampler:
             "segment_ids": stack_para("segment_ids"),
             "paragraph_mask": stack_para("paragraph_mask"),
             "input_ids_q": pad_to([ex["q_token_ids"] for ex in examples], c.max_query_length),
-            "para_embed": np.stack([ex["para_embed"] for ex in examples]),
         }
+        if "para_rows" in examples[0]:
+            net["para_rows"] = np.stack([ex["para_rows"] for ex in examples])
+        else:
+            net["para_embed"] = np.stack([ex["para_embed"] for ex in examples])
         net["input_mask_q"] = (net["input_ids_q"] != 0).astype(np.int32)
         if with_targets:
             net["start_positions"] = stack_para("starts", -1, c.max_spans)
@@ -245,13 +284,14 @@ class OnlineSampler:
         for group_start in range(0, len(self.qa_data), B):
             group = self.qa_data[group_start : group_start + B]
             questions = [qa["question"] for qa in group]
-            q_ids, rows, para_embeds = self._retrieve(questions, query_encoder)
-            work = list(zip(group, q_ids, rows, para_embeds))
+            q_ids, rows, _ = self._retrieve(
+                questions, query_encoder, gather_embeds=False
+            )
+            work = [(qa, qi, rr, None) for qa, qi, rr in zip(group, q_ids, rows)]
             if self.cfg.num_workers > 0:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(self.cfg.num_workers) as pool:
-                    built = list(pool.map(lambda w: self._build_train_example(*w), work))
+                built = list(self._workers().map(
+                    lambda w: self._build_train_example(*w), work
+                ))
             else:
                 built = [self._build_train_example(*w) for w in work]
             for ex in built:

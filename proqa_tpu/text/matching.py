@@ -42,8 +42,9 @@ def para_has_answer(paragraph: str, answers, tokenizer: SimpleTokenizer) -> tupl
     words = toks.words(uncased=True)
     for ans in answers:
         ans_words = tokenizer.tokenize(normalize(ans)).words(uncased=True)
-        if not ans_words:
-            continue
+        # NB: an answer tokenizing to [] matches vacuously at i=0 — the
+        # reference's exact behavior (eval_retrieval.py:36-39, found by the
+        # reference-executed oracle tests), kept for parity
         for i in range(len(words) - len(ans_words) + 1):
             if words[i : i + len(ans_words)] == ans_words:
                 return True, toks.slice(i, i + len(ans_words)).untokenize()
@@ -63,8 +64,8 @@ def match_answer_span(paragraph: str, answers, tokenizer: SimpleTokenizer, match
     found: set[str] = set()
     for ans in answers:
         ans_words = tokenizer.tokenize(normalize(ans)).words(uncased=True)
-        if not ans_words:
-            continue
+        # empty-answer vacuous match kept for reference parity (see
+        # para_has_answer above; reference prepro_dense.py:61-69)
         for i in range(len(words) - len(ans_words) + 1):
             if words[i : i + len(ans_words)] == ans_words:
                 found.add(toks.slice(i, i + len(ans_words)).untokenize())

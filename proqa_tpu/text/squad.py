@@ -23,7 +23,16 @@ def prepare_context(context: str, tokenizer):
       orig_to_tok_index[i]     = index of word i's first wordpiece,
       tok_to_orig_index[j]     = word index of wordpiece j,
       all_doc_tokens[j]        = j-th wordpiece.
+
+    Uses the native C++ single-call path (wp_prepare) when the tokenizer has
+    one — the pure-Python loop below was the QA sampler's largest host cost
+    (~60% of per-paragraph time on a 1-core host).
     """
+    native = getattr(tokenizer, "_native", None)
+    if native is not None:
+        r = native.prepare(context)
+        if r is not None:
+            return r
     doc_tokens: list[str] = []
     char_to_word_offset: list[int] = []
     in_word = False
@@ -98,8 +107,16 @@ def find_answer_spans(
 
 
 def char_spans_of(text: str, needle: str) -> list[tuple[int, int]]:
-    """All [start, end] (inclusive) occurrences of needle in text."""
-    starts = [i for i in range(len(text)) if text.startswith(needle, i)]
+    """All (possibly overlapping) [start, end] (inclusive) occurrences of
+    needle in text. str.find loop, not per-position startswith: the naive
+    scan was ~9% of the QA sampler's per-paragraph host time."""
+    if not needle:
+        return [(i, i - 1) for i in range(len(text))]
+    starts = []
+    i = text.find(needle)
+    while i != -1:
+        starts.append(i)
+        i = text.find(needle, i + 1)
     return [(s, s + len(needle) - 1) for s in starts]
 
 

@@ -136,9 +136,16 @@ class QATrainer:
             (_, comp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, comp
 
-        def train_step(state, batch, rng):
+        def train_step(state, batch, rng, corpus_emb):
+            # corpus_emb: device-resident index for the para_rows gather path
+            # (None with host-materialized para_embed batches). Kept OUT of
+            # `batch` so grad-accum microbatch splitting and the batch
+            # sharding spec never touch the [N, D] corpus.
+            def with_emb(mb):
+                return mb if corpus_emb is None else {**mb, "corpus_emb": corpus_emb}
+
             if accum == 1:
-                grads, comp = microbatch_grads(state.params, batch, rng)
+                grads, comp = microbatch_grads(state.params, with_emb(batch), rng)
             else:
                 # lax.scan over question-dim microbatches (reference
                 # --accumulate_gradients, qa/train_retrieve_qa.py:196-217)
@@ -151,7 +158,7 @@ class QATrainer:
                 def body(carry, inp):
                     gsum, csum = carry
                     mb, r = inp
-                    g, c = microbatch_grads(state.params, mb, r)
+                    g, c = microbatch_grads(state.params, with_emb(mb), r)
                     return (
                         jax.tree.map(jnp.add, gsum, g),
                         jax.tree.map(jnp.add, csum, c),
@@ -159,7 +166,7 @@ class QATrainer:
 
                 zero_g = jax.tree.map(jnp.zeros_like, state.params)
                 comp_struct = jax.eval_shape(
-                    lambda p, mb, r: microbatch_grads(p, mb, r)[1],
+                    lambda p, mb, r: microbatch_grads(p, with_emb(mb), r)[1],
                     state.params, {k: v[0] for k, v in split.items()}, rngs[0],
                 )
                 zero_c = jax.tree.map(
@@ -170,12 +177,15 @@ class QATrainer:
                 comp = jax.tree.map(lambda c: c / accum, csum)
             return apply_gradients(state, grads, self.tx), comp
 
-        self._train_step = jax.jit(
+        # corpus_emb keeps its existing sharding (None spec): a mesh-sharded
+        # index must not be all-gathered to satisfy a replicated constraint
+        self._train_step_fn = jax.jit(
             train_step,
-            in_shardings=(replicated, batch_sharded, replicated),
+            in_shardings=(replicated, batch_sharded, replicated, None),
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
         )
+        self._corpus_emb = None
 
         def eval_step(params, batch):
             out = qa_forward(params, bert_cfg, qa_cfg, batch, deterministic=True)
@@ -204,6 +214,22 @@ class QATrainer:
         self._state_lock = threading.Lock()
 
     # -------------------- plumbing --------------------
+
+    def set_corpus(self, index) -> None:
+        """Register the dense index whose device-resident embeddings the
+        train step gathers para_embed from (para_rows batches). Called
+        automatically by train(); needed before driving _train_step manually
+        with sampler batches."""
+        self._corpus_emb = index.embeddings
+
+    def _train_step(self, state, batch, rng):
+        emb = self._corpus_emb if "para_rows" in batch else None
+        if "para_rows" in batch and emb is None:
+            raise ValueError(
+                "batch uses para_rows but no corpus is registered — call "
+                "trainer.set_corpus(sampler.index) (train() does this)"
+            )
+        return self._train_step_fn(state, batch, rng, emb)
 
     def query_encoder(self) -> Callable:
         """Encoder reading the LIVE retriever params at every call, so online
@@ -327,6 +353,8 @@ class QATrainer:
 
     def train(self, train_sampler, eval_sampler) -> float:
         t = self.tcfg
+        if getattr(train_sampler, "index", None) is not None:
+            self.set_corpus(train_sampler.index)
         best_em, wait, stop = 0.0, 0, False
         meter = AverageMeter()
         for epoch in range(t.num_train_epochs):
@@ -371,6 +399,14 @@ class QATrainer:
             if em > best_em:
                 self.save("best-model")
                 best_em, wait = em, 0
+            else:
+                # the reference never increments wait_step on its epoch-end
+                # eval (train_retrieve_qa.py:244-255), so with the default
+                # eval_period=-1 its early stopping is dead code; here
+                # epoch-end evals count toward wait_step too
+                wait += 1
+                if wait >= t.wait_step:
+                    stop = True
             if stop:
                 break
         self.logger.info("Training finished!")

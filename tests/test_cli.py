@@ -113,6 +113,74 @@ def test_cli_pretrain_and_index_pipeline(world, capsys):
     total = sum(len(open(world / "splits" / s).readlines()) for s in shards)
     assert total == 40
 
+    # ---- phase 2: progressive (cluster-batched) pretraining, the flagship
+    # recipe of /root/reference/retrieval/train_retriever_cluster.sh: embed
+    # the TRAIN PAIR paragraphs with the phase-1 model, k-means them,
+    # re-batch cluster-pure, continue from checkpoint_last ----
+    main([
+        "build-index", *_common(world),
+        "--corpus", str(world / "pairs.jsonl"),   # pair rows: Paragraph field
+        "--init-checkpoint", ckpt,
+        "--output-dir", str(world / "pair_index"),
+        "--predict-batch-size", "8",
+    ])
+    assert np.load(world / "pair_index" / "embeddings.npy").shape == (30, 128)
+    main([
+        "cluster-corpus",
+        "--embeddings", str(world / "pair_index" / "embeddings.npy"),
+        "--pairs", str(world / "pairs.jsonl"),
+        "--output-dir", str(world / "pair_splits"),
+        "--ncentroids", "2", "--niter", "5", "--max-points-per-centroid", "1000",
+    ])
+    pair_shards = os.listdir(world / "pair_splits")
+    assert sum(
+        len(open(world / "pair_splits" / s).readlines()) for s in pair_shards
+    ) == 30
+    # every shard row is a pair the ClusterPairDataset can consume
+    for s in pair_shards:
+        for line in open(world / "pair_splits" / s):
+            assert "Question" in json.loads(line)
+
+    out2 = str(world / "retriever_run_phase2")
+    capsys.readouterr()
+    main([
+        "pretrain-retriever", *_common(world),
+        "--train-file", str(world / "pair_splits"),   # directory -> cluster path
+        "--predict-file", str(world / "pairs.jsonl"),
+        "--output-dir", out2,
+        "--train-batch-size", "8",
+        "--predict-batch-size", "8",
+        "--num-train-epochs", "1",
+        "--eval-period", "2",
+        "--save-checkpoints-steps", "100",
+        "--learning-rate", "1e-3",
+        "--init-checkpoint", ckpt,
+    ])
+    out = capsys.readouterr().out
+    best = json.loads(
+        [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    )["best_in_batch_acc"]
+    assert 0.0 <= best <= 1.0
+    assert os.path.exists(f"{out2}/checkpoint_last.msgpack")
+
+    # phase 2 actually trained starting FROM phase 1: params moved
+    from proqa_tpu.cli.main import _load_params
+    from proqa_tpu.models.bert import BertConfig
+    from proqa_tpu.models.retriever import init_retriever_params
+
+    import jax
+    import jax.numpy as jnp
+
+    template = init_retriever_params(
+        jax.random.PRNGKey(0), BertConfig.tiny(dtype=jnp.float32)
+    )
+    p1 = _load_params(ckpt, template)
+    p2 = _load_params(f"{out2}/checkpoint_last.msgpack", template)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), p1, p2
+    ))
+    assert max(diffs) > 0.0, "phase-2 training did not update the parameters"
+
 
 def test_cli_match_paras(world, capsys):
     with open(world / "retrieved.jsonl", "w") as f:

@@ -94,3 +94,17 @@ def test_ivf_dense_index_adapter(data):
     emb = ivf.take(i1[0])
     assert emb.shape == (10, pts.shape[1])
     assert ivf.id_map.rows_to_ids(i1[0][:2])[0].startswith("d")
+
+
+def test_ivf_search_chunks_large_query_batches(data):
+    """A query batch whose slab-gather envelope exceeds the budget is
+    processed in padded chunks; results must equal the unchunked search."""
+    pts, queries = data
+    index = build_ivf(pts, nlist=16, nprobe=4, niter=5, dtype=jnp.float32)
+    big_q = np.concatenate([queries] * 5)  # 80 queries, not a chunk multiple
+    v_ref, i_ref = index.search(big_q, 10)
+    per_q = index.nprobe * index.capacity * pts.shape[1] * 4
+    index.GATHER_BUDGET_BYTES = per_q * 24  # forces chunk=24 < 80
+    v, i = index.search(big_q, 10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-6)

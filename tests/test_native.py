@@ -62,6 +62,8 @@ def test_native_unicode_parity(pair):
         "mixed ASCII + ünïcodé, twice! mixed ASCII + ünïcodé!",
         "한국어 텍스트",                          # Hangul -> NFD multi -> fallback
         "emoji 😀 astral",              # astral -> fallback
+        "the quick fox",      # Zl/Zp: str.split() whitespace, not Zs
+        "a\x85b c\x1cd",                # isspace() C1/C0 controls (deleted)
     ]
     for s in cases:
         assert native.tokenize(s) == pure.tokenize(s), repr(s)
@@ -81,6 +83,8 @@ def test_native_unicode_fuzz(pair):
         "̀́̈  ​",
         "가냐더려",  # Hangul (fallback path)
         "😀𝄞",  # astral (fallback path)
+
+        "\u2028\u2029\x85\x1c ",  # Zl/Zp + isspace controls
     ]
     for _ in range(300):
         n = rng.randint(0, 60)
@@ -134,3 +138,62 @@ def test_native_is_faster(pair):
     t_native, t_pure = bench(native), bench(pure)
     # soft bound: native should be clearly faster on ASCII text
     assert t_native < t_pure, (t_native, t_pure)
+
+
+def _py_prepare(context, tok):
+    """The pure-Python prepare_context loop (native path disabled)."""
+    from proqa_tpu.text.squad import prepare_context
+
+    class _NoNative:
+        _native = None
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def tokenize(self, text):
+            return self._inner.tokenize(text)
+
+    return prepare_context(context, _NoNative(tok))
+
+
+def test_native_prepare_context_parity(pair):
+    from proqa_tpu.text.squad import prepare_context
+
+    native, pure = pair
+    cases = [
+        "the quick brown fox jumps over the lazy dog",
+        "  leading and trailing  ",
+        "punct,uation! splits-words (here)",
+        "unable running b0b 1992.",
+        "", "   ", "\tonly\nws\r", "x",
+        "ctrl\x01inside\x7fword",
+        "unicode naïve café ΑΛΦΑ день",
+        "zl inside word stays one doc token",
+        "a b c", " lead", "multi   spaces\t\ttabs",
+        "word " + "a" * 150 + " end",   # >max_chars_per_word -> [UNK]
+    ]
+    for s in cases:
+        got = prepare_context(s, native)
+        want = _py_prepare(s, pure)
+        assert got == tuple(want) or list(got) == list(want), repr(s)
+
+
+def test_native_prepare_context_fuzz(pair):
+    import random
+    from proqa_tpu.text.squad import prepare_context
+
+    native, pure = pair
+    rng = random.Random(13)
+    pools = [
+        string.ascii_letters + string.digits + string.punctuation + "  \t\n",
+        "àáçèñöß ",
+        "αβΣσς 一二三",
+        "  \x85\x1c\x01 ",
+        "̀́ ​",
+    ]
+    for _ in range(250):
+        n = rng.randint(0, 70)
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        got = prepare_context(s, native)
+        want = _py_prepare(s, pure)
+        assert list(got) == list(want), repr(s)

@@ -110,7 +110,7 @@ def test_sampler_train_batches(world, scfg):
     assert b["segment_ids"].shape == (B, 3, 48)
     assert b["paragraph_mask"].shape == (B, 3, 48)
     assert b["start_positions"].shape == (B, 3, 8)
-    assert b["para_embed"].shape == (B, 16, 16)
+    assert b["para_rows"].shape == (B, 16)   # device-gather path (round 3)
     assert b["top5000_labels"].shape == (B, 16)
 
     # every annotated span must point at the actual answer token
@@ -161,6 +161,7 @@ def test_qa_trainer_end_to_end(world, scfg, tmp_path):
     params = init_qa_params(jax.random.PRNGKey(5), world["cfg"], qcfg, embed_dim=16)
     params["retriever"] = world["params_r"]
     trainer = QATrainer(world["cfg"], qcfg, tcfg, mesh=make_mesh(4), params=params)
+    trainer.set_corpus(world["index"])
 
     sampler = OnlineSampler(
         world["qa_path"], world["tok"], world["db"], world["index"], scfg,
@@ -190,8 +191,9 @@ def _make_trainer(world, tmp_path, name, mesh_size=4, **tcfg_kw):
     from proqa_tpu.models.reader import init_qa_params
     from proqa_tpu.parallel import make_mesh
 
+    tcfg_kw = {"num_train_epochs": 1, **tcfg_kw}
     tcfg = QATrainerConfig(
-        learning_rate=1e-3, num_train_epochs=1, eval_k=2, train_k=2,
+        learning_rate=1e-3, eval_k=2, train_k=2,
         questions_per_batch=4, output_dir=str(tmp_path / name), seed=0,
         fix_para_encoder=True, **tcfg_kw,
     )
@@ -213,6 +215,8 @@ def test_qa_grad_accum_equivalence(world, scfg, tmp_path):
     )
     t1 = _make_trainer(world, tmp_path, "accum1", mesh_size=2, accumulate_gradients=1)
     t2 = _make_trainer(world, tmp_path, "accum2", mesh_size=2, accumulate_gradients=2)
+    t1.set_corpus(world["index"])
+    t2.set_corpus(world["index"])
     batch = next(iter(sampler.load(t1.query_encoder(), 2, 4)))
     net, rows = batch_pad(batch["net_input"], 4)
     assert rows == 4, "fixture must fill the batch for exact equivalence"
@@ -307,8 +311,8 @@ def test_sampler_interleaved_load_eval_load(world, scfg):
     eval_it = sampler.eval_load(enc, k=2, questions_per_batch=4)
     eb1 = next(eval_it)
     tb2 = next(train_it)  # train candidate pool must still be cfg.candidates
-    assert tb1["net_input"]["para_embed"].shape[1] == scfg.candidates
-    assert tb2["net_input"]["para_embed"].shape[1] == scfg.candidates
+    assert tb1["net_input"]["para_rows"].shape[1] == scfg.candidates
+    assert tb2["net_input"]["para_rows"].shape[1] == scfg.candidates
     assert eb1["net_input"]["para_embed"].shape[1] == 2
 
 
@@ -337,3 +341,24 @@ def test_sampler_shuffle_deterministic(world, scfg):
     assert [q["question"] for q in s1.qa_data] == [q["question"] for q in s2.qa_data]
     s2.shuffle(seed=6)
     assert [q["question"] for q in s1.qa_data] != [q["question"] for q in s2.qa_data]
+
+
+def test_qa_epoch_end_early_stopping(world, scfg, tmp_path):
+    """Epoch-end evals must count toward wait_step (at the reference default
+    eval_period=-1 its early stopping is dead code — reference
+    train_retrieve_qa.py:244-255 never increments wait_step there)."""
+    trainer = _make_trainer(
+        world, tmp_path, "earlystop", num_train_epochs=6, wait_step=2,
+    )
+    calls = []
+    trainer.predict = lambda sampler: calls.append(1) or 0.0  # never improves
+    sampler = OnlineSampler(
+        world["qa_path"], world["tok"], world["db"], world["index"], scfg,
+        matched_para_path=world["matched_path"],
+    )
+    eval_sampler = OnlineSampler(
+        world["qa_path"], world["tok"], world["db"], world["index"], scfg,
+    )
+    trainer.train(sampler, eval_sampler)
+    # wait hits wait_step at the end of epoch 2 -> exactly 2 epoch-end evals
+    assert len(calls) == 2, calls

@@ -211,3 +211,37 @@ def test_frozen_mask_structure():
     m2 = qa_frozen_mask(params, freeze_retriever=True)
     assert m2["retriever"]["bert_q"]["pooler"]["kernel"] is True
     assert m2["qa_outputs"]["kernel"] is False
+
+
+def test_para_rows_path_matches_para_embed():
+    """qa_forward with para_rows + corpus_emb (device-resident index gather)
+    must equal the host-materialized para_embed path bit for bit."""
+    cfg = BertConfig.tiny(dtype=jnp.float32)
+    qcfg = QAConfig(shared_norm=True)
+    params = init_qa_params(jax.random.PRNGKey(0), cfg, qcfg, embed_dim=16)
+
+    rng = np.random.default_rng(11)
+    B, k, L, Tq, M, N = 2, 2, 16, 6, 8, 40
+    ids = rng.integers(1, cfg.vocab_size, (B, k, L)).astype(np.int32)
+    segs = np.broadcast_to((np.arange(L) >= Tq).astype(np.int32), ids.shape).copy()
+    corpus = rng.standard_normal((N, 16)).astype(np.float32)
+    rows = rng.integers(0, N, (B, M)).astype(np.int32)
+    base = {
+        "input_ids": jnp.asarray(ids),
+        "input_mask": jnp.ones_like(jnp.asarray(ids)),
+        "segment_ids": jnp.asarray(segs),
+        "paragraph_mask": jnp.asarray(segs),
+        "input_ids_q": jnp.asarray(rng.integers(1, cfg.vocab_size, (B, Tq)).astype(np.int32)),
+        "input_mask_q": jnp.ones((B, Tq), jnp.int32),
+    }
+    out_embed = qa_forward(
+        params, cfg, qcfg, {**base, "para_embed": jnp.asarray(corpus[rows])}
+    )
+    out_rows = qa_forward(
+        params, cfg, qcfg,
+        {**base, "para_rows": jnp.asarray(rows), "corpus_emb": jnp.asarray(corpus)},
+    )
+    for key in out_embed:
+        np.testing.assert_array_equal(
+            np.asarray(out_embed[key]), np.asarray(out_rows[key]), err_msg=key
+        )

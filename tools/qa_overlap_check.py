@@ -93,6 +93,7 @@ def main():
             output_dir=os.path.join(root, f"run_{label}"),
         )
         trainer = QATrainer(cfg, qcfg, tcfg)  # fresh random params
+        trainer.set_corpus(index)
         sampler = OnlineSampler(qa_path, tok, db, index, scfg)
 
         # run the REAL training inner loop manually, timing steps past warm-up
