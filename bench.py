@@ -111,6 +111,9 @@ def _bench_encode_bucketed() -> dict:
     rng = np.random.default_rng(3)
     # Wikipedia-paragraph-ish wordpiece lengths: lognormal, clipped to [32, 512]
     lens = np.clip(rng.lognormal(5.2, 0.55, n).astype(np.int64), 32, 512)
+    # pre-generate token ids: this bench tracks the DEVICE bucketing win, not
+    # host id generation (tokenization is the C++ path's business)
+    rows = [rng.integers(5, cfg.vocab_size, int(l)).tolist() for l in lens]
 
     class _Rows:
         max_len = 512
@@ -119,8 +122,7 @@ def _bench_encode_bucketed() -> dict:
             return n
 
         def __getitem__(self, i):
-            r = np.random.default_rng(i)
-            return r.integers(5, cfg.vocab_size, int(lens[i])).tolist()
+            return rows[i]
 
     ds = _Rows()
     buckets = (128, 256, 512)   # 3 compiled signatures
@@ -304,8 +306,11 @@ def _bench_mips_16m() -> dict:
     ))
 
     def search():
+        # block=32 here (not the 4.2M-tuned 16): bmax3 is N/block*Q*4 bytes
+        # = 4.3 GiB at 16.8M — block=16 would need 8.6 GiB on top of the
+        # 4 GiB corpus and overflow HBM
         return mips_topk_pallas_v2(
-            queries, corpus, K, block=32, group=64, tile_q=512
+            queries, corpus, K, block=32, group=64, tile_q=2048, sub_chunks=4
         )
 
     vals, idx = search()
@@ -393,9 +398,10 @@ def main() -> None:
     queries = jax.device_put(jnp.asarray(xq, jnp.bfloat16))
 
     def search():
-        # round-2 pipeline, block/group tuned on v5e (tools/mips_v2_bench.py)
+        # round-3 tuning: tile_q=2048, block=16, sub_chunks=4 (see
+        # ops/mips.py dispatch comment; tools/*sweep*.py)
         return mips_topk_pallas_v2(
-            queries, corpus, K, block=32, group=64, tile_q=512
+            queries, corpus, K, block=16, group=128, tile_q=2048, sub_chunks=4
         )
 
     # warmup/compile

@@ -24,6 +24,16 @@ class IdMap:
     def rows_to_ids(self, rows: Iterable[int]) -> list[str]:
         return [self._ids[int(r)] for r in rows]
 
+    def ids_to_rows(self, doc_ids: Iterable[str]) -> list[int]:
+        """Row indices of the given doc ids (unknown ids skipped). Inverse
+        built lazily and cached — used to turn gold-paragraph id sets into
+        row sets so per-candidate labeling is a vectorized isin, not a
+        5000-element Python loop per question."""
+        inv = getattr(self, "_inv", None)
+        if inv is None:
+            inv = self._inv = {d: i for i, d in enumerate(self._ids)}
+        return [inv[d] for d in doc_ids if d in inv]
+
     @classmethod
     def from_doc_ids(cls, doc_ids: Iterable[str]) -> "IdMap":
         return cls(list(doc_ids))

@@ -44,7 +44,16 @@ class BertConfig:
     remat_policy: str | None = None  # name of a jax.checkpoint_policies
                          # policy (e.g. "dots_with_no_batch_dims_saveable")
                          # to save selected intermediates instead of
-                         # recomputing everything; None = full recompute
+                         # recomputing everything; None = full recompute.
+                         # NOTE: policies are REJECTED by the axon remote
+                         # compiler (HTTP 500, re-confirmed round 3) — use
+                         # remat_scope for partial remat there.
+    remat_scope: str = "layer"  # "layer": checkpoint the whole layer body
+                         # (max memory savings, recomputes attention+MLP);
+                         # "mlp": checkpoint only the MLP block — attention
+                         # outputs are saved, halving recompute FLOPs for
+                         # ~2x the activation memory (manual stand-in for
+                         # the rejected save-dots policies)
     flash_attention: bool = False  # fused Pallas attention kernel
                                    # (ops/pallas_attention.py): softmax +
                                    # attention-prob dropout + PV in one VMEM
@@ -252,19 +261,25 @@ def bert_encoder(
 
     layer_rngs = jax.random.split(dropout_rng, cfg.num_layers * 3).reshape(cfg.num_layers, 3, -1)
 
+    def mlp_block(x, layer_p, rng):
+        mlp = _dense(x, layer_p["mlp_in"])
+        mlp = jax.nn.gelu(mlp.astype(jnp.float32), approximate=False).astype(x.dtype)
+        mlp = _dense(mlp, layer_p["mlp_out"])
+        mlp = _dropout(mlp, cfg.hidden_dropout, rng, deterministic)
+        return _layer_norm(x + mlp, layer_p["mlp_ln"], cfg.layer_norm_eps)
+
+    if cfg.remat and cfg.remat_scope == "mlp":
+        mlp_block = jax.checkpoint(mlp_block, prevent_cse=False)
+
     def layer_body(x, scanned):
         layer_p, rngs = scanned
         attn = _attention(x, mask_bias, layer_p, cfg, rngs[0], deterministic, key_mask)
         attn = _dropout(attn, cfg.hidden_dropout, rngs[1], deterministic)
         x = _layer_norm(x + attn, layer_p["attn_ln"], cfg.layer_norm_eps)
-        mlp = _dense(x, layer_p["mlp_in"])
-        mlp = jax.nn.gelu(mlp.astype(jnp.float32), approximate=False).astype(x.dtype)
-        mlp = _dense(mlp, layer_p["mlp_out"])
-        mlp = _dropout(mlp, cfg.hidden_dropout, rngs[2], deterministic)
-        x = _layer_norm(x + mlp, layer_p["mlp_ln"], cfg.layer_norm_eps)
+        x = mlp_block(x, layer_p, rngs[2])
         return x, None
 
-    if cfg.remat:
+    if cfg.remat and cfg.remat_scope == "layer":
         policy = (
             getattr(jax.checkpoint_policies, cfg.remat_policy)
             if cfg.remat_policy else None

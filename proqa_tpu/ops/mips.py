@@ -290,15 +290,24 @@ def mips_topk(
         if use_pallas:
             from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
 
-            tile_q = 512 if q >= 512 else 256
+            # round-3 tuning (tools/kernel_tile_sweep.py, mips_final_sweep.py,
+            # sub-chunk sweep on v5e at 4.2M x 128): tile_q=2048 amortizes
+            # per-grid-step overhead (-3 ms), block=16 halves the rescore
+            # gather, sub_chunks=4 overlaps the VPU max-reduce with the next
+            # MXU dot (-1.5 ms) -> 38.4 (round 2) -> ~32 ms amortized
+            tile_q = min(2048, max(256, 1 << (q - 1).bit_length()))
             q_pad = (-q) % tile_q
             if q_pad:
                 queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
-            # block/group tuned on v5e at 4.2M x 128 (tools/mips_v2_bench.py:
-            # v1 59.8 -> v2 38.4 ms amortized; b32/g64 edges b32/g128)
+            qp = queries.shape[0]
+            # block=16 halves the rescore gather but doubles bmax3
+            # (N/block * Qpad * 4 bytes); grow block until bmax3 fits ~4.5 GB
+            block = 16
+            while block < 256 and (n / block) * qp * 4 > 4.5e9:
+                block *= 2
             vals, idx = mips_topk_pallas_v2(
-                queries, corpus, k, block=32, group=64, tile_q=tile_q,
-                n_valid=n_valid,
+                queries, corpus, k, block=block, group=2048 // block,
+                tile_q=tile_q, sub_chunks=4, n_valid=n_valid,
             )
             return vals[:q], idx[:q]
         return mips_topk_blockmax(queries, corpus, k, n_valid=n_valid, **kw)

@@ -73,19 +73,32 @@ def block_maxima(
     )(qt, corpus)
 
 
-def _bmax3_kernel(qt_ref, c_ref, b3_ref, g_ref, *, block, tq, group):
+def _bmax3_kernel(qt_ref, c_ref, b3_ref, g_ref, *, block, tq, group, sub):
     """Grid (q_tiles, CG): each step scores one whole group (group*block
     corpus rows) against a query tile and writes its block maxima [TQ, G]
     plus the group max [1, 1, TQ]. Full-block writes only — Mosaic rejects
-    lane-dim dynamic slices that are not provably 128-aligned."""
-    s = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32)  # [G*B, TQ]
-    bm = jnp.max(s.reshape(group, block, tq), axis=1)                     # [G, TQ]
+    lane-dim dynamic slices that are not provably 128-aligned.
+
+    sub > 1 splits the step's rows into independent dot+reduce chains so the
+    scheduler can overlap one chain's VPU max-reduce with the next chain's
+    MXU dot (phase ablation: the reduce is ~4.4 us/step serialized after the
+    ~11 us dot — ~40% of kernel time at sub=1)."""
+    outs = []
+    rows = group * block
+    step = rows // sub
+    for i in range(sub):
+        s = jnp.dot(
+            c_ref[i * step : (i + 1) * step], qt_ref[:],
+            preferred_element_type=jnp.float32,
+        )                                                   # [rows/sub, TQ]
+        outs.append(jnp.max(s.reshape(step // block, block, tq), axis=1))
+    bm = outs[0] if sub == 1 else jnp.concatenate(outs, axis=0)  # [G, TQ]
     b3_ref[0] = bm.T
     g_ref[0, 0] = jnp.max(bm, axis=0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "group", "tile_q", "interpret")
+    jax.jit, static_argnames=("block", "group", "tile_q", "sub_chunks", "interpret")
 )
 def block_maxima_grouped(
     queries: jax.Array,     # [Q, D] (Q % tile_q == 0)
@@ -94,6 +107,7 @@ def block_maxima_grouped(
     block: int = 32,
     group: int = 128,
     tile_q: int = 512,
+    sub_chunks: int = 1,
     interpret: bool = False,
 ):
     """Fused scoring + two-level maxima, laid out for cheap per-query
@@ -108,11 +122,14 @@ def block_maxima_grouped(
     n, d2 = corpus.shape
     rows_per_group = group * block
     assert d == d2 and q % tile_q == 0 and n % rows_per_group == 0
+    assert group % sub_chunks == 0
     cg = n // rows_per_group
     qt = queries.T
 
     grid = (q // tile_q, cg)
-    kernel = functools.partial(_bmax3_kernel, block=block, tq=tile_q, group=group)
+    kernel = functools.partial(
+        _bmax3_kernel, block=block, tq=tile_q, group=group, sub=sub_chunks
+    )
     b3, g = pl.pallas_call(
         kernel,
         grid=grid,
@@ -147,8 +164,8 @@ def block_maxima_grouped(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "block", "group", "kb", "q_chunk", "tile_q", "interpret",
-        "fast_select",
+        "k", "block", "group", "kb", "q_chunk", "tile_q", "sub_chunks",
+        "interpret", "fast_select",
     ),
 )
 def mips_topk_pallas_v2(
@@ -161,9 +178,10 @@ def mips_topk_pallas_v2(
     kb: int | None = None,
     q_chunk: int | None = None,
     tile_q: int = 512,
+    sub_chunks: int = 1,
     n_valid: int | None = None,
     interpret: bool = False,
-    fast_select: bool | tuple = True,
+    fast_select: bool | tuple = False,
 ):
     """Exact MIPS top-k. Three stages:
 
@@ -172,12 +190,14 @@ def mips_topk_pallas_v2(
          (contiguous rows), top-kb blocks among kb*G candidates
       3. rescore: gather kb blocks x `block` rows, exact top-k (unchunked)
 
-    Round-3: the three lax.top_k calls run through the recursive narrow-width
-    hierarchy of ops.mips.exact_topk — measured in-pipeline (tools/
-    topk_cost_model.py), top_k cost ramps from ~0 ms (width <= 512) to a
-    7.6 ms VMEM cliff at width 5120, so splitting each wide selection into
-    <=1024-wide levels makes the select stages ~free. `fast_select=False`
-    keeps the round-2 flat lax.top_k calls for A/B.
+    Round-3 measurement note (tools/select_ablation.py, all 8 per-stage
+    combos interleaved on v5e): swapping ANY of the three lax.top_k calls
+    for the recursive narrow-width hierarchy (ops.mips.exact_topk,
+    fast_select=True) changes the pipeline <1 ms — the selects are ~free in
+    situ (they overlap the kernel's execution), and all-hierarchical is
+    ~5 ms SLOWER. Round 2's "3 top_ks at ~7 ms each" decomposition was a
+    standalone-timing artifact of the tunnel's dispatch floor. Flat
+    lax.top_k stays the default; `fast_select` remains for ablation.
 
     Exactness: hierarchical upper-bound argument at each level — any group /
     block whose max exceeds the true k-th score contains a top-k row, so at
@@ -203,7 +223,7 @@ def mips_topk_pallas_v2(
 
     bmax3, gmax = block_maxima_grouped(
         queries, corpus, block=block, group=group, tile_q=tile_q,
-        interpret=interpret,
+        sub_chunks=sub_chunks, interpret=interpret,
     )
 
     static_aligned = isinstance(n_valid, int) and n_valid == n

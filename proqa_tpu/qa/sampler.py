@@ -79,6 +79,18 @@ class OnlineSampler:
             self.qid2goldparas = {
                 hash_question(item["question"]): item["matched_paras"] for item in annotated
             }
+        self._gold_rows_cache: dict[str, np.ndarray] = {}
+
+    def _gold_rows(self, qid: str) -> np.ndarray:
+        """Gold paragraph ids of a question as sorted index ROW numbers."""
+        rows = self._gold_rows_cache.get(qid)
+        if rows is None:
+            gold = self.qid2goldparas.get(qid, {}) if self.qid2goldparas else {}
+            rows = np.sort(np.asarray(
+                self.index.id_map.ids_to_rows(gold.keys()), np.int64
+            ))
+            self._gold_rows_cache[qid] = rows
+        return rows
 
     def __len__(self) -> int:
         return len(self.qa_data)
@@ -149,12 +161,14 @@ class OnlineSampler:
         (no gold in top-M and no span-covered paragraph in top-k)."""
         c = self.cfg
         qid = hash_question(qa["question"])
-        gold_paras = self.qid2goldparas.get(qid, {}) if self.qid2goldparas else {}
-        cand_ids = self.index.id_map.rows_to_ids(cand_rows)
-        top_labels = np.fromiter(
-            (1 if pid in gold_paras else 0 for pid in cand_ids), np.int32, len(cand_ids)
-        )
+        # gold labeling over the M=5000 candidates: row-set membership
+        # (vectorized isin), not a per-candidate Python id lookup
+        gold_rows = self._gold_rows(qid)
+        top_labels = np.isin(
+            np.asarray(cand_rows), gold_rows, assume_unique=False
+        ).astype(np.int32)
         k = self._k
+        cand_ids = self.index.id_map.rows_to_ids(cand_rows[:k])
         per_para = []
         any_covered = False
         for pid in cand_ids[:k]:

@@ -171,3 +171,26 @@ def test_remat_policy_matches_default(cfg, params):
     g2 = jax.grad(loss(pol))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_scope_mlp_matches_no_remat():
+    """remat_scope="mlp" (checkpoint only the MLP block — the manual
+    stand-in for the axon-rejected save-dots policies) must not change
+    values or grads."""
+    base = BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0, attention_dropout=0.0)
+    remat = BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0,
+                            attention_dropout=0.0, remat=True, remat_scope="mlp")
+    params = init_bert_params(jax.random.PRNGKey(5), base)
+    ids, mask = _batch(base, np.random.default_rng(6), b=2, t=8)
+
+    def loss(p, cfg):
+        seq, pooled = bert_encoder(p, cfg, ids, mask)
+        return jnp.sum(pooled ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, base))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, remat))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        g1, g2,
+    )

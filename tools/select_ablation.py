@@ -42,31 +42,12 @@ def main():
 
     res = {}
 
-    # floor: kernel + fixed gathers + rescore, selections replaced by slices
-    @jax.jit
-    def floor():
-        b3, g = block_maxima_grouped(queries, corpus, block=32, group=64, tile_q=512)
-        cg = b3.shape[0]
-        top_groups = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (Q, K))
-        q_iota = jnp.arange(Q, dtype=jnp.int32)[:, None]
-        cand = b3[top_groups, q_iota]
-        sel = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (Q, K))
-        gsel = jnp.take_along_axis(top_groups, sel // 64, axis=1)
-        top_blocks = gsel * 64 + sel % 64
-        nb = corpus.shape[0] // 32
-        cb = corpus.reshape(nb, 32, D)
-        candr = jnp.take(cb, top_blocks, axis=0)
-        s = jnp.einsum("qkbd,qd->qkb", candr.astype(queries.dtype), queries,
-                       preferred_element_type=jnp.float32).reshape(Q, K * 32)
-        vals = jax.lax.top_k(s, K)[0]
-        return vals, (s[:, :1] + cand[:, 0, :1] + g.reshape(cg, Q).T[:, :1])
-
-    t0 = time.perf_counter()
-    res["floor_ms"] = amortized_ms(floor)
-    res["floor_compile_s"] = round(time.perf_counter() - t0, 1)
-    print(json.dumps(res), flush=True)
-
-    for combo in itertools.product([False, True], repeat=3):
+    combos = [
+        (False, False, False), (False, True, False), (False, False, True),
+        (True, False, False), (True, True, True), (False, True, True),
+        (True, True, False), (True, False, True),
+    ]
+    for combo in combos:
         name = "".join("H" if c else "F" for c in combo)
         fn = lambda: mips_topk_pallas_v2(
             queries, corpus, K, block=32, group=64, tile_q=512,
