@@ -173,7 +173,16 @@ def encode_corpus_streaming(
             for line in f:
                 if not line.strip():
                     continue
-                texts.append(_json.loads(line)["text"])
+                row = _json.loads(line)
+                # pair-format rows encode their Paragraph field, matching
+                # EncodeDataset (progressive phase-2 embeds the pair file)
+                text = row.get("text", row.get("Paragraph"))
+                if text is None:
+                    raise KeyError(
+                        f"corpus row has neither 'text' nor 'Paragraph': "
+                        f"{list(row)[:6]}"
+                    )
+                texts.append(text)
                 if len(texts) == chunk_rows:
                     yield base, texts
                     base += len(texts)

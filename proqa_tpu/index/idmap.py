@@ -25,14 +25,20 @@ class IdMap:
         return [self._ids[int(r)] for r in rows]
 
     def ids_to_rows(self, doc_ids: Iterable[str]) -> list[int]:
-        """Row indices of the given doc ids (unknown ids skipped). Inverse
-        built lazily and cached — used to turn gold-paragraph id sets into
-        row sets so per-candidate labeling is a vectorized isin, not a
-        5000-element Python loop per question."""
+        """ALL row indices of the given doc ids (unknown ids skipped; a
+        duplicated doc id maps to every row carrying it, matching
+        id-membership semantics). Inverse built lazily and cached — used to
+        turn gold-paragraph id sets into row sets so per-candidate labeling
+        is a vectorized isin, not a 5000-element Python loop per question."""
         inv = getattr(self, "_inv", None)
         if inv is None:
-            inv = self._inv = {d: i for i, d in enumerate(self._ids)}
-        return [inv[d] for d in doc_ids if d in inv]
+            inv = self._inv = {}
+            for i, d in enumerate(self._ids):
+                inv.setdefault(d, []).append(i)
+        out: list[int] = []
+        for d in doc_ids:
+            out.extend(inv.get(d, ()))
+        return out
 
     @classmethod
     def from_doc_ids(cls, doc_ids: Iterable[str]) -> "IdMap":

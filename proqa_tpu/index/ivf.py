@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +49,9 @@ class IVFIndex:
         return self.slabs.shape[1]
 
     # search gathers [Qchunk, nprobe, cap, D] slabs; cap the envelope so a
-    # large query batch chunks instead of silently OOMing HBM
-    GATHER_BUDGET_BYTES: int = 1 << 30
+    # large query batch chunks instead of silently OOMing HBM.
+    # ClassVar: a tuning constant, not a dataclass field
+    GATHER_BUDGET_BYTES: ClassVar[int] = 1 << 30
 
     def search(self, queries, k: int):
         """Returns (values [Q, k] f32, original row indices [Q, k] i32).

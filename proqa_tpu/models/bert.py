@@ -240,6 +240,10 @@ def bert_encoder(
     )
     x = _layer_norm(x.astype(cfg.dtype), emb["ln"], cfg.layer_norm_eps)
 
+    assert cfg.remat_scope in ("layer", "mlp"), (
+        f"remat_scope={cfg.remat_scope!r}: must be 'layer' or 'mlp' (a typo "
+        "would silently disable remat and OOM base-size training at compile)"
+    )
     dropout_on = not deterministic and (
         cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
     )

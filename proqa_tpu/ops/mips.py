@@ -26,7 +26,6 @@ Design (measured on v5e, see bench.py):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

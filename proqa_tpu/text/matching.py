@@ -64,8 +64,15 @@ def match_answer_span(paragraph: str, answers, tokenizer: SimpleTokenizer, match
     found: set[str] = set()
     for ans in answers:
         ans_words = tokenizer.tokenize(normalize(ans)).words(uncased=True)
-        # empty-answer vacuous match kept for reference parity (see
-        # para_has_answer above; reference prepro_dense.py:61-69)
+        if not ans_words:
+            # DELIBERATE divergence from the reference here (prepro_dense.py:
+            # 61-69 vacuously matches "" at every position): a matched ""
+            # would enumerate len(p) char spans per paragraph in the train
+            # sampler and mark every paragraph covered with garbage span
+            # targets. Recall scoring (para_has_answer above) keeps the
+            # reference's vacuous-match semantics, pinned by the
+            # reference-executed oracle test.
+            continue
         for i in range(len(words) - len(ans_words) + 1):
             if words[i : i + len(ans_words)] == ans_words:
                 found.add(toks.slice(i, i + len(ans_words)).untokenize())

@@ -228,3 +228,27 @@ class TestRegexpTokenizer:
         from proqa_tpu.text.simple import RegexpTokenizer
         rt = RegexpTokenizer()
         assert "3.14" in rt.tokenize("pi is 3.14 ok").words()
+
+
+def test_ids_to_rows_duplicate_doc_ids():
+    """A duplicated doc id must map to EVERY row carrying it (gold labeling
+    is row-set membership; losing rows silently drops training questions)."""
+    from proqa_tpu.index.idmap import IdMap
+
+    m = IdMap(["a", "d", "b", "d", "c"])
+    assert sorted(m.ids_to_rows(["d"])) == [1, 3]
+    assert m.ids_to_rows(["missing"]) == []
+    assert sorted(m.ids_to_rows(["a", "d"])) == [0, 1, 3]
+
+
+def test_match_answer_span_empty_answer_guarded():
+    """Empty-tokenizing answers must not vacuously match in the TRAIN path
+    (deliberate divergence from the reference; recall-side para_has_answer
+    keeps the reference's vacuous match — see test_reference_exec)."""
+    from proqa_tpu.text.matching import match_answer_span, para_has_answer
+    from proqa_tpu.text.simple import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+    assert match_answer_span("some paragraph here", ["", "   "], tok) == []
+    covered, matched = para_has_answer("some paragraph", [""], tok)
+    assert covered and matched == ""   # reference semantics on the recall side
