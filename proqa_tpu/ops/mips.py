@@ -217,8 +217,11 @@ def mips_topk_chunked_approx(
     candidate retrieval, reference qa/online_sampler.py:113 — which itself uses
     IVF nprobe=20, i.e. far lower recall than this).
 
-    Scans corpus chunks; per chunk `approx_max_k` then an exact running merge.
-    Memory: O(Q * (chunk + k)); never materializes [Q, N].
+    Scans corpus chunks; per chunk `approx_max_k` collects candidates, ONE
+    exact hierarchical top-k merges them at the end (a per-chunk running
+    merge paid a [Q, 2k]-wide indexed top_k EVERY chunk — at k=5000 that is
+    8 sorts past the ~5k-width VMEM cliff; measured 196 ms at [32, 4.2M]).
+    Memory: O(Q * (chunk + nchunk*k)); never materializes [Q, N].
     """
     q, d = queries.shape
     # don't pad small corpora up to a huge chunk
@@ -231,24 +234,23 @@ def mips_topk_chunked_approx(
     corpus_chunks = corpus.reshape(nchunk, chunk, d)
     k_local = min(k, chunk)
 
-    def body(carry, inp):
-        run_vals, run_idx = carry
+    def body(_, inp):
         blk, off = inp
         s = _scores(queries, blk)
         s = jnp.where((off + jnp.arange(chunk))[None, :] < n_valid, s, NEG_INF)
         v, i = jax.lax.approx_max_k(s, k_local, recall_target=recall_target)
-        cv = jnp.concatenate([run_vals, v], axis=1)
-        ci = jnp.concatenate([run_idx, i.astype(jnp.int32) + off], axis=1)
-        nv, sel = jax.lax.top_k(cv, k)
-        ni = jnp.take_along_axis(ci, sel, axis=1)
-        return (nv, ni), None
+        return None, (v, i.astype(jnp.int32) + off)
 
-    init = (
-        jnp.full((q, k), NEG_INF, jnp.float32),
-        jnp.zeros((q, k), jnp.int32),
-    )
     offs = (jnp.arange(nchunk, dtype=jnp.int32)) * chunk
-    (vals, idx), _ = jax.lax.scan(body, init, (corpus_chunks, offs))
+    _, (cv, ci) = jax.lax.scan(body, None, (corpus_chunks, offs))
+    cv = jnp.moveaxis(cv, 0, 1).reshape(q, nchunk * k_local)
+    ci = jnp.moveaxis(ci, 0, 1).reshape(q, nchunk * k_local)
+    if cv.shape[1] < k:  # degenerate small-corpus call: keep k output cols
+        pad = k - cv.shape[1]
+        cv = jnp.pad(cv, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        ci = jnp.pad(ci, ((0, 0), (0, pad)))
+    vals, sel = exact_topk(cv, k)
+    idx = jnp.take_along_axis(ci, sel.astype(jnp.int32), axis=1)
     return vals, idx
 
 
