@@ -130,3 +130,36 @@ def test_encode_corpus_bucketed_order_preserved(setup):
     plain = encode_corpus(params, cfg, ds, batch_size=8, buckets=None)
     bucketed = encode_corpus(params, cfg, ds, batch_size=8, buckets=(4, 8, 12))
     np.testing.assert_allclose(bucketed, plain, atol=1e-5)
+
+
+def test_streaming_build_accepts_pair_rows(setup, tmp_path):
+    """The progressive phase-2 recipe streams the PAIR file (Paragraph
+    field); the bounded-RAM path must encode it identically to corpus rows
+    with the same texts."""
+    root, cfg, params = setup
+    import json as _json
+
+    pair_path = tmp_path / "pairs.jsonl"
+    with open(root / "corpus.jsonl") as fin, open(pair_path, "w") as fout:
+        for line in fin:
+            row = _json.loads(line)
+            fout.write(_json.dumps({
+                "Question": "q", "Paragraph": row["text"], "Answer": "a",
+                "id": row["id"],
+            }) + "\n")
+    ref = build_index(
+        params, cfg, str(root / "corpus.jsonl"),
+        tokenizer=FakeTok(), max_length=12, batch_size=8,
+        dtype=jnp.float32, save_path=str(tmp_path / "mem"),
+    )
+    streamed = build_index(
+        params, cfg, str(pair_path),
+        tokenizer=FakeTok(), max_length=12, batch_size=8,
+        dtype=jnp.float32, save_path=str(tmp_path / "stream_pairs"),
+        stream_chunk=7,
+    )
+    np.testing.assert_allclose(
+        np.load(tmp_path / "stream_pairs" / "embeddings.npy"),
+        np.load(tmp_path / "mem" / "embeddings.npy"), atol=1e-5,
+    )
+    assert len(streamed) == len(ref)
