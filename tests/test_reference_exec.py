@@ -406,3 +406,49 @@ def test_reference_drop_early_is_broken():
     with pytest.raises(UnboundLocalError):
         with torch.no_grad():
             model(batch)
+
+
+def test_squad_prepare_and_spans_match_reference_executed(tmp_path):
+    """Execute the reference's own `prepare` + `find_ans_span_with_char_offsets`
+    (/root/reference/qa/prepro_utils.py:62-178) against our prepare_context +
+    find_answer_spans (incl. the native C++ wp_prepare path) on the same
+    vocab: doc tokens, every offset map, and the improved wordpiece spans
+    must be identical."""
+    ref_pp = load_reference_module("qa", "prepro_utils")
+    from proqa_tpu.text.squad import char_spans_of, find_answer_spans, prepare_context
+    from proqa_tpu.text.wordpiece import BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "quick", "brown",
+             "fox", "jump", "##s", "##ed", "over", "lazy", "dog", "in",
+             "19", "##92", ",", ".", "!", "-", "(", ")", "a", "an", "un",
+             "##able", "run", "##ning", "tok", "##en", "##1", "##2", "1", "2"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    ours_tok = BertTokenizer.from_vocab_file(str(vp))
+    hf_tok = transformers.BertTokenizer(str(vp), do_lower_case=True)
+
+    contexts = [
+        "The quick brown fox jumped over the lazy dog in 1992.",
+        "  un-able, running! (a fox)  the quick dog .",
+        "tok1 tok2 a an the\tquick\nfox",
+        "a" + " the fox" * 10,
+    ]
+    answers = ["the lazy dog", "fox", "1992", "running", "a", "quick brown"]
+
+    for context in contexts:
+        want = ref_pp.prepare(context, hf_tok)
+        got = prepare_context(context, ours_tok)
+        assert list(got) == [list(w) if isinstance(w, list) else w for w in want], context
+        doc_tokens, c2w, o2t, t2o, pieces = got
+        for ans in answers:
+            spans = char_spans_of(context, ans)
+            if not spans:
+                continue
+            want_spans = ref_pp.find_ans_span_with_char_offsets(
+                {"text": ans, "char_spans": spans},
+                c2w, doc_tokens, pieces, o2t, hf_tok,
+            )
+            got_spans = find_answer_spans(
+                ans, spans, c2w, doc_tokens, pieces, o2t, ours_tok
+            )
+            assert [tuple(s) for s in got_spans] == [tuple(s) for s in want_spans], (context, ans)
