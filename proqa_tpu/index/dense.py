@@ -95,6 +95,35 @@ class DenseIndex:
             idx = np.pad(idx, ((0, 0), (0, k - k_eff)), constant_values=0)
         return vals, idx
 
+    def fused_search_fn(self, encode_fn, k: int, *, exact: bool = True,
+                        q_count: int | None = None):
+        """One-dispatch encode+search: returns `(jitted_fn, operands)` where
+        `jitted_fn(params, ids, mask, *operands) -> (vals, idx)`, or None when
+        this index cannot fuse at the given operating point.
+
+        Motivation: the online QA sampler's per-group chain used to be two
+        synchronized dispatches (encode -> host -> search); each synchronized
+        dispatch through the tunneled TPU costs ~26-52 ms of fixed latency, so
+        fusing them halves the sampler's dispatch wall share. (The reference
+        runs this chain per single question: qa/online_sampler.py:104-121.)
+        The index matrix is passed as an operand, not closed over — closing a
+        GiB-scale constant into a jit ships it in the remote compile payload.
+        """
+        del q_count  # dense search has no host-side chunking to respect
+        k_eff = min(k, self.n)
+        n_valid = self.n
+        mesh = self.mesh
+
+        if mesh is not None:
+            def f(params, ids, mask, emb):
+                q = encode_fn(params, ids, mask).astype(emb.dtype)
+                return sharded_mips_topk(q, emb, k_eff, mesh, exact=exact, n_valid=n_valid)
+        else:
+            def f(params, ids, mask, emb):
+                q = encode_fn(params, ids, mask).astype(emb.dtype)
+                return mips_topk(q, emb, k_eff, exact=exact, n_valid=n_valid)
+        return jax.jit(f), (self.embeddings,)
+
     def search_ids(self, queries, k: int, **kw):
         """Search returning document ids via the IdMap (reference
         convert_idx2id, eval_retrieval.py:68-76)."""
@@ -153,6 +182,31 @@ class IVFDenseIndex(DenseIndex):
     the dense matrix for embedding gathers (`take`) and persistence."""
 
     ivf: object = None
+
+    def fused_search_fn(self, encode_fn, k: int, *, exact: bool = False,
+                        q_count: int | None = None):
+        if exact:  # explicit exact request bypasses the quantizer
+            return super().fused_search_fn(encode_fn, k, exact=True, q_count=q_count)
+        from proqa_tpu.index.ivf import _ivf_search
+
+        ivf = self.ivf
+        per_q = (
+            min(ivf.nprobe, ivf.nlist) * ivf.capacity
+            * ivf.slabs.shape[-1] * ivf.slabs.dtype.itemsize
+        )
+        chunk = max(8, int(ivf.GATHER_BUDGET_BYTES // max(per_q, 1)) // 8 * 8)
+        if q_count is not None and q_count > chunk:
+            return None  # would need host-side chunking — keep the unfused path
+        k_eff = min(k, self.n)
+        nprobe = ivf.nprobe
+
+        def f(params, ids, mask, cent, slabs, srows, over, orows):
+            q = encode_fn(params, ids, mask).astype(slabs.dtype)
+            return _ivf_search(q, cent, slabs, srows, over, orows, k=k_eff, nprobe=nprobe)
+
+        return jax.jit(f), (
+            ivf.centroids, ivf.slabs, ivf.slab_rows, ivf.overflow, ivf.overflow_rows,
+        )
 
     def search(self, queries, k: int, *, exact: bool = False, q_pad: int = 256, **kw):
         if exact:  # explicit exact request bypasses the quantizer

@@ -124,23 +124,38 @@ class OnlineSampler:
     # retrieval: encode + search a batch of questions at once
     # ------------------------------------------------------------------
 
-    def _encode_questions(self, questions: list[str], query_encoder: Callable) -> tuple[np.ndarray, list[list[int]]]:
-        cfgq = self.cfg.max_query_length
-        q_ids = [self.tokenizer.encode(q, max_length=cfgq) for q in questions]
-        ids = pad_to(q_ids, cfgq)
-        mask = (ids != 0).astype(np.int32)
-        embeds = np.asarray(query_encoder(ids, mask), np.float32)
-        return embeds, q_ids
-
     def _retrieve(
         self, questions: list[str], query_encoder: Callable,
         candidates: int | None = None, gather_embeds: bool = True,
     ):
-        embeds, q_ids = self._encode_questions(questions, query_encoder)
-        _, rows = self.index.search(
-            embeds, candidates or self.cfg.candidates, exact=self.cfg.exact_search,
-            q_pad=min(self.cfg.question_batch, 256),
-        )
+        c = self.cfg
+        k = candidates or c.candidates
+        cfgq = c.max_query_length
+        q_ids = [self.tokenizer.encode(q, max_length=cfgq) for q in questions]
+        ids = pad_to(q_ids, cfgq)
+        mask = (ids != 0).astype(np.int32)
+        nq = ids.shape[0]
+        bpad = min(c.question_batch, 256)
+        npad = (-nq) % bpad  # pad ragged last group to a fixed compile shape
+        if npad:
+            ids = np.concatenate([ids, np.zeros((npad, cfgq), ids.dtype)])
+            mask = np.concatenate([mask, np.zeros((npad, cfgq), mask.dtype)])
+            mask[nq:, 0] = 1  # pad rows attend [CLS] only (no all-masked rows)
+
+        rows = None
+        enc_search = getattr(query_encoder, "encode_search", None)
+        if enc_search is not None:
+            # one-dispatch encode+search (QATrainer._encode_search): the
+            # two-dispatch chain paid the tunnel's fixed per-dispatch
+            # latency twice per question group
+            res = enc_search(ids, mask, self.index, k, c.exact_search)
+            if res is not None:
+                rows = res[1][:nq]
+        if rows is None:
+            embeds = np.asarray(query_encoder(ids, mask), np.float32)[:nq]
+            _, rows = self.index.search(
+                embeds, k, exact=c.exact_search, q_pad=bpad,
+            )
         if not gather_embeds:
             # train path: the reader gathers para_embed ON DEVICE from the
             # resident index (qa_forward para_rows) — shipping [B, 5000, 128]

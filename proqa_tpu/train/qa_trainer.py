@@ -204,9 +204,9 @@ class QATrainer:
             out_shardings=replicated,
         )
 
-        self._encode_query = jax.jit(
-            lambda p, ids, mask: encode_query(p, bert_cfg, ids, mask)
-        )
+        self._raw_encode_query = lambda p, ids, mask: encode_query(p, bert_cfg, ids, mask)
+        self._encode_query = jax.jit(self._raw_encode_query)
+        self._fused_cache: dict = {}  # (index id, k, exact, ids shape) -> (fn, operands) | None
         # Serializes state-reading dispatches against the train step's
         # donate+reassign: the prefetch thread encodes queries with the live
         # params, and must never capture a state whose buffers were just
@@ -235,13 +235,76 @@ class QATrainer:
         """Encoder reading the LIVE retriever params at every call, so online
         retrieval follows training (and donated state buffers are never
         captured stale). Safe to call from the prefetch thread: dispatch is
-        serialized against the train step's state swap."""
-        def enc(ids, mask):
+        serialized against the train step's state swap.
+
+        The returned object is also an `encode_search` provider: the sampler
+        uses it to run encode+search as ONE device dispatch instead of two
+        (each synchronized dispatch through the tunneled TPU costs ~26-52 ms
+        of fixed latency)."""
+        trainer = self
+
+        class _LiveEncoder:
+            def __call__(self, ids, mask):
+                with trainer._state_lock:
+                    return trainer._encode_query(
+                        trainer.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask)
+                    )
+
+            def encode_search(self, ids, mask, index, k, exact):
+                return trainer._encode_search(ids, mask, index, k, exact)
+
+        return _LiveEncoder()
+
+    def _encode_search(self, ids, mask, index, k: int, exact: bool):
+        """One-dispatch encode+search against `index` with the live retriever
+        params. Returns (vals, idx) as host arrays with the same contract as
+        DenseIndex.search, or None when the index can't fuse (caller falls
+        back to the two-dispatch path)."""
+        ids = np.asarray(ids)
+        key = (id(index), int(k), bool(exact), ids.shape)
+        if key not in self._fused_cache:
+            entry = index.fused_search_fn(
+                self._raw_encode_query, k, exact=exact, q_count=ids.shape[0]
+            )
+            if entry is not None and not self._devices_compatible(entry[1]):
+                # e.g. params replicated over a multi-device mesh while the
+                # index sits on one device — jit would reject mixed sets
+                entry = None
+            self._fused_cache[key] = entry
+        entry = self._fused_cache[key]
+        if entry is None:
+            return None
+        fn, operands = entry
+        try:
             with self._state_lock:
-                return self._encode_query(
-                    self.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask)
+                out = fn(
+                    self.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask),
+                    *operands,
                 )
-        return enc
+        except Exception as e:  # never kill training over a fusion fast path
+            self.logger.warning(
+                f"fused encode+search failed ({type(e).__name__}: {e}); "
+                "falling back to two-dispatch retrieval"
+            )
+            self._fused_cache[key] = None
+            return None
+        vals, idx = (np.asarray(x) for x in out)
+        if vals.shape[1] < k:  # degenerate tiny-corpus case, as DenseIndex.search
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)))
+        return vals, idx
+
+    def _devices_compatible(self, operands) -> bool:
+        leaves = jax.tree_util.tree_leaves(self.state.params)
+        pset = getattr(getattr(leaves[0], "sharding", None), "device_set", None)
+        if pset is None:
+            return True
+        for op in operands:
+            oset = getattr(getattr(op, "sharding", None), "device_set", None)
+            if oset is not None and oset != pset:
+                return False
+        return True
 
     def _prefetched(self, batch_iter):
         if self.tcfg.prefetch_batches > 0:

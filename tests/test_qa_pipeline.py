@@ -362,3 +362,50 @@ def test_qa_epoch_end_early_stopping(world, scfg, tmp_path):
     trainer.train(sampler, eval_sampler)
     # wait hits wait_step at the end of epoch 2 -> exactly 2 epoch-end evals
     assert len(calls) == 2, calls
+
+
+def test_fused_encode_search_matches_two_dispatch(world, scfg, tmp_path):
+    """query_encoder().encode_search (ONE jitted encode+search dispatch) must
+    return the same rows as the separate encode -> index.search chain, for
+    both the exact dense index and the IVF quantizer path."""
+    trainer = _make_trainer(world, tmp_path, "fused", mesh_size=1)
+    enc = trainer.query_encoder()
+    ids = np.array(
+        [[2, 5, 6, 3] + [0] * 8, [2, 7, 8, 9, 3] + [0] * 7], np.int32
+    )
+    mask = (ids != 0).astype(np.int32)
+    embeds = np.asarray(enc(ids, mask), np.float32)
+
+    # exact dense path
+    res = enc.encode_search(ids, mask, world["index"], 7, True)
+    assert res is not None, "fused path must engage on a single-device mesh"
+    _, fused_idx = res
+    _, want_idx = world["index"].search(embeds, 7, exact=True)
+    np.testing.assert_array_equal(fused_idx, want_idx)
+
+    # IVF path (reference online config shape: quantized candidate search)
+    ivf_index = world["index"].to_ivf(nlist=4, nprobe=4, niter=3)
+    res = enc.encode_search(ids, mask, ivf_index, 7, False)
+    assert res is not None
+    _, fused_idx = res
+    _, want_idx = ivf_index.search(embeds, 7)
+    np.testing.assert_array_equal(fused_idx, want_idx)
+
+
+def test_fused_encode_search_in_sampler(world, scfg, tmp_path):
+    """The sampler must produce identical batches through the fused
+    single-dispatch retrieval and the plain two-dispatch encoder closure."""
+    trainer = _make_trainer(world, tmp_path, "fused_sampler", mesh_size=1)
+    trainer.state = trainer.state._replace(
+        params={**trainer.state.params, "retriever": world["params_r"]}
+    )
+    kw = dict(matched_para_path=world["matched_path"])
+    s_fused = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], scfg, **kw)
+    s_plain = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], scfg, **kw)
+    got = list(s_fused.load(trainer.query_encoder(), k=3, questions_per_batch=4))
+    want = list(s_plain.load(_query_encoder(world), k=3, questions_per_batch=4))
+    assert len(got) == len(want) and got, "same number of batches"
+    for bg, bw in zip(got, want):
+        assert bg["id"] == bw["id"]
+        for key in bg["net_input"]:
+            np.testing.assert_array_equal(bg["net_input"][key], bw["net_input"][key])
