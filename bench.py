@@ -266,9 +266,8 @@ def _bench_qa_wall() -> dict:
         net["question_mask"] = (np.arange(4) < rows).astype(np.int32)
         trainer.rng, step_rng = jax.random.split(trainer.rng)
         with trainer._state_lock:
-            trainer.state, comp = trainer._train_step(
-                trainer.state, trainer._device_batch(net), step_rng
-            )
+            # raw host net: _train_step packs it into one device transfer
+            trainer.state, comp = trainer._train_step(trainer.state, net, step_rng)
         float(comp["loss"])
         now = time.perf_counter()
         if t_prev is not None and nsteps >= 4:

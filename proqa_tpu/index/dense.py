@@ -22,6 +22,15 @@ from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_rows
 from proqa_tpu.parallel.search import sharded_mips_topk
 
 
+def _query_mask(ids):
+    """Attention mask derived on device: (ids != 0), with position 0 forced
+    on so batch-pad rows (all zeros) attend [CLS] only instead of nothing.
+    Real rows start with [CLS] (nonzero), so forcing position 0 is a no-op
+    for them — this matches the host-built mask in OnlineSampler._retrieve."""
+    mask = (ids != 0).astype(jnp.int32)
+    return mask.at[:, 0].set(1)
+
+
 @dataclass
 class DenseIndex:
     embeddings: jax.Array          # [N_padded, D], bf16 or f32, device-resident
@@ -98,7 +107,7 @@ class DenseIndex:
     def fused_search_fn(self, encode_fn, k: int, *, exact: bool = True,
                         q_count: int | None = None):
         """One-dispatch encode+search: returns `(jitted_fn, operands)` where
-        `jitted_fn(params, ids, mask, *operands) -> (vals, idx)`, or None when
+        `jitted_fn(params, ids, *operands) -> (vals, idx)`, or None when
         this index cannot fuse at the given operating point.
 
         Motivation: the online QA sampler's per-group chain used to be two
@@ -106,8 +115,11 @@ class DenseIndex:
         dispatch through the tunneled TPU costs ~26-52 ms of fixed latency, so
         fusing them halves the sampler's dispatch wall share. (The reference
         runs this chain per single question: qa/online_sampler.py:104-121.)
-        The index matrix is passed as an operand, not closed over — closing a
-        GiB-scale constant into a jit ships it in the remote compile payload.
+        The attention mask is derived ON DEVICE — (ids != 0) with position 0
+        forced on, so all-pad rows attend [CLS] only — saving one per-group
+        host->device transfer. The index matrix is passed as an operand, not
+        closed over — closing a GiB-scale constant into a jit ships it in the
+        remote compile payload.
         """
         del q_count  # dense search has no host-side chunking to respect
         k_eff = min(k, self.n)
@@ -115,12 +127,12 @@ class DenseIndex:
         mesh = self.mesh
 
         if mesh is not None:
-            def f(params, ids, mask, emb):
-                q = encode_fn(params, ids, mask).astype(emb.dtype)
+            def f(params, ids, emb):
+                q = encode_fn(params, ids, _query_mask(ids)).astype(emb.dtype)
                 return sharded_mips_topk(q, emb, k_eff, mesh, exact=exact, n_valid=n_valid)
         else:
-            def f(params, ids, mask, emb):
-                q = encode_fn(params, ids, mask).astype(emb.dtype)
+            def f(params, ids, emb):
+                q = encode_fn(params, ids, _query_mask(ids)).astype(emb.dtype)
                 return mips_topk(q, emb, k_eff, exact=exact, n_valid=n_valid)
         return jax.jit(f), (self.embeddings,)
 
@@ -200,8 +212,8 @@ class IVFDenseIndex(DenseIndex):
         k_eff = min(k, self.n)
         nprobe = ivf.nprobe
 
-        def f(params, ids, mask, cent, slabs, srows, over, orows):
-            q = encode_fn(params, ids, mask).astype(slabs.dtype)
+        def f(params, ids, cent, slabs, srows, over, orows):
+            q = encode_fn(params, ids, _query_mask(ids)).astype(slabs.dtype)
             return _ivf_search(q, cent, slabs, srows, over, orows, k=k_eff, nprobe=nprobe)
 
         return jax.jit(f), (

@@ -13,6 +13,16 @@ import unicodedata
 from proqa_tpu.text.simple import SimpleTokenizer
 
 
+def _native_matcher(tokenizer):
+    """C++ fast path (native/simple_match.cpp), valid only for the plain
+    SimpleTokenizer (RegexpTokenizer has different token rules)."""
+    if type(tokenizer) is not SimpleTokenizer:
+        return None
+    from proqa_tpu.native.simple_match import get_matcher
+
+    return get_matcher()
+
+
 def normalize(text: str) -> str:
     """NFD-normalize unicode; applied to both paragraphs and answers so
     byte-level comparisons line up (reference qa/prepro_utils.py:16-18)."""
@@ -38,6 +48,13 @@ def para_has_answer(paragraph: str, answers, tokenizer: SimpleTokenizer) -> tupl
     Returns (covered, first matched surface string). Both sides are NFD
     normalized and word-tokenized; comparison is on lowercased words.
     """
+    nat = _native_matcher(tokenizer)
+    if nat is not None:
+        res = nat.match(
+            normalize(paragraph), [normalize(a) for a in answers], first_only=True
+        )
+        if res is not None:
+            return (True, res[0]) if res else (False, "")
     toks = tokenizer.tokenize(normalize(paragraph))
     words = toks.words(uncased=True)
     for ans in answers:
@@ -59,6 +76,11 @@ def match_answer_span(paragraph: str, answers, tokenizer: SimpleTokenizer, match
     """
     if match == "regex":
         return regex_match(paragraph, normalize(answers[0]))
+    nat = _native_matcher(tokenizer)
+    if nat is not None:
+        res = nat.match(paragraph, [normalize(a) for a in answers], first_only=False)
+        if res is not None:
+            return list(set(res))
     toks = tokenizer.tokenize(paragraph)
     words = toks.words(uncased=True)
     found: set[str] = set()

@@ -185,6 +185,8 @@ class QATrainer:
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
         )
+        self._train_step_body = train_step
+        self._packed_cache: dict = {}  # shape signature -> (jitted fn, keys)
         self._corpus_emb = None
 
         def eval_step(params, batch):
@@ -229,7 +231,54 @@ class QATrainer:
                 "batch uses para_rows but no corpus is registered — call "
                 "trainer.set_corpus(sampler.index) (train() does this)"
             )
+        packed = self._pack_batch(batch)
+        if packed is not None:
+            fn, flat = packed
+            return fn(state, flat, rng, emb)
         return self._train_step_fn(state, batch, rng, emb)
+
+    def _pack_batch(self, batch):
+        """Single-transfer fast path: concatenate every host int array of the
+        batch into ONE flat int32 buffer (unpacked by static slicing inside
+        the jit, masks re-derived on device). The per-array `jnp.asarray`
+        path paid the tunneled TPU's fixed per-transfer latency ~10x per
+        step (~14 ms measured, tools/qa_wall_decomp.py). Engages only on a
+        single-device mesh (multi-device DP shards the batch dict per-array)
+        with all-integer numpy batches whose masks carry no information
+        beyond (ids != 0). Returns (jitted_fn, flat) or None."""
+        if self.mesh.size != 1:
+            return None
+        if not all(
+            isinstance(v, np.ndarray) and v.dtype.kind == "i"
+            for v in batch.values()
+        ):
+            return None
+        if "input_ids" not in batch or "input_ids_q" not in batch:
+            return None
+        if not np.array_equal(batch["input_mask"], batch["input_ids"] != 0) or \
+                not np.array_equal(batch["input_mask_q"], batch["input_ids_q"] != 0):
+            return None
+        keys = tuple(sorted(k for k in batch if k not in ("input_mask", "input_mask_q")))
+        sig = tuple((k, batch[k].shape) for k in keys)
+        if sig not in self._packed_cache:
+            body = self._train_step_body
+
+            def step(state, flat, rng, emb):
+                b = {}
+                off = 0
+                for k, shape in sig:
+                    size = int(np.prod(shape))
+                    b[k] = flat[off : off + size].reshape(shape)
+                    off += size
+                b["input_mask"] = (b["input_ids"] != 0).astype(jnp.int32)
+                b["input_mask_q"] = (b["input_ids_q"] != 0).astype(jnp.int32)
+                return body(state, b, rng, emb)
+
+            self._packed_cache[sig] = jax.jit(step, donate_argnums=(0,))
+        flat = np.concatenate(
+            [np.ascontiguousarray(batch[k], np.int32).ravel() for k in keys]
+        )
+        return self._packed_cache[sig], flat
 
     def query_encoder(self) -> Callable:
         """Encoder reading the LIVE retriever params at every call, so online
@@ -276,10 +325,11 @@ class QATrainer:
             return None
         fn, operands = entry
         try:
+            # mask is NOT shipped: the fused fn derives it on device from ids
+            # (one less per-group host->device transfer through the tunnel)
             with self._state_lock:
                 out = fn(
-                    self.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask),
-                    *operands,
+                    self.state.params["retriever"], jnp.asarray(ids), *operands
                 )
         except Exception as e:  # never kill training over a fusion fast path
             self.logger.warning(
@@ -431,9 +481,9 @@ class QATrainer:
                 ).astype(np.int32)
                 self.rng, step_rng = jax.random.split(self.rng)
                 with self._state_lock:
-                    self.state, comp = self._train_step(
-                        self.state, self._device_batch(net), step_rng
-                    )
+                    # host net passed raw: _train_step packs it into a single
+                    # device transfer when eligible (_pack_batch)
+                    self.state, comp = self._train_step(self.state, net, step_rng)
                 step = int(self.state.step)
                 loss = float(comp["loss"])
                 meter.update(loss)

@@ -409,3 +409,43 @@ def test_fused_encode_search_in_sampler(world, scfg, tmp_path):
         assert bg["id"] == bw["id"]
         for key in bg["net_input"]:
             np.testing.assert_array_equal(bg["net_input"][key], bw["net_input"][key])
+
+
+def test_packed_batch_step_equivalence(world, scfg, tmp_path):
+    """The single-transfer packed path (_pack_batch: one flat int32 buffer,
+    masks re-derived on device) must produce bit-identical loss and params
+    vs the per-array dict path, and must only engage when eligible."""
+    from proqa_tpu.data.collate import batch_pad
+
+    sampler = OnlineSampler(
+        world["qa_path"], world["tok"], world["db"], world["index"], scfg,
+        matched_para_path=world["matched_path"],
+    )
+    ta = _make_trainer(world, tmp_path, "packA", mesh_size=1)
+    tb = _make_trainer(world, tmp_path, "packB", mesh_size=1)
+    ta.set_corpus(world["index"])
+    tb.set_corpus(world["index"])
+    batch = next(iter(sampler.load(ta.query_encoder(), 2, 4)))
+    net, rows = batch_pad(batch["net_input"], 4)
+    net["question_mask"] = (np.arange(4) < rows).astype(np.int32)
+
+    assert ta._pack_batch(net) is not None, "eligible host batch must pack"
+    rng = jax.random.PRNGKey(7)
+    ta.state, ca = ta._train_step(ta.state, net, rng)                   # packed
+    tb.state, cb = tb._train_step(tb.state, tb._device_batch(net), rng)  # dict
+    assert ta._packed_cache, "packed jit must have been built and used"
+    np.testing.assert_array_equal(np.asarray(ca["loss"]), np.asarray(cb["loss"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ta.state.params, tb.state.params,
+    )
+
+    # ineligibility gates: multi-device mesh, float arrays, device arrays
+    tmulti = _make_trainer(world, tmp_path, "packM", mesh_size=2)
+    assert tmulti._pack_batch(net) is None
+    assert ta._pack_batch({**net, "para_embed": np.zeros((4, 2, 16), np.float32)}) is None
+    assert ta._pack_batch(ta._device_batch(net)) is None
+    # a mask carrying extra information must not be re-derived away
+    bad = {**net, "input_mask": net["input_mask"].copy()}
+    bad["input_mask"][0, 0, -1] = 1 - bad["input_mask"][0, 0, -1]
+    assert ta._pack_batch(bad) is None

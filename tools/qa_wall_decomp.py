@@ -1,10 +1,15 @@
-"""Interleaved A/B: QA sampler wall-clock with fused single-dispatch
-encode+search vs the two-dispatch encoder closure, SAME process, SAME world
-(cross-process timings on this tunnel drift more than the effect size).
+"""Attribute the QA wall-clock residual (wall ms/step - device step ms).
 
-Builds the bench.py _bench_qa_wall world once, then alternates measuring
-full sampler+train-step passes with (A) trainer.query_encoder() [fused] and
-(B) a plain closure [unfused]."""
+Same world as tools/qa_wall_ab.py. Three interleaved variants, one process:
+
+  A full    — fused sampler + prefetch + train step  (the production loop)
+  B prebuilt— batches built once on the host, loop = device_batch + step
+              (isolates sampler retrieval-dispatch + host-build cost = A-B)
+  C predev  — batches already ON DEVICE, loop = step only
+              (isolates host->device transfer cost = B-C)
+
+Run on the TPU: python tools/qa_wall_decomp.py
+"""
 from __future__ import annotations
 
 import json
@@ -75,46 +80,80 @@ def main() -> None:
     trainer = QATrainer(cfg, QAConfig(shared_norm=True), tcfg)
     trainer.set_corpus(index)
     sampler = OnlineSampler(qa_path, tok, db, index, scfg)
-
     fused_enc = trainer.query_encoder()
 
-    def plain_enc(ids, mask):  # the round-2 two-dispatch shape
+    def step_once(net):
+        # host nets take the packed single-transfer path; predev's device
+        # dicts fall through to the per-array jit path (no transfer at all)
+        trainer.rng, step_rng = jax.random.split(trainer.rng)
         with trainer._state_lock:
-            return trainer._encode_query(
-                trainer.state.params["retriever"], jnp.asarray(ids), jnp.asarray(mask)
-            )
+            trainer.state, comp = trainer._train_step(trainer.state, net, step_rng)
+        float(comp["loss"])
 
-    def one_pass(enc):
-        times, t_prev, nsteps = [], None, 0
-        for batch in trainer._prefetched(sampler.load(enc, 5, 4)):
+    def nets_of_pass():
+        nets = []
+        for batch in sampler.load(fused_enc, 5, 4):
             net, rows = batch_pad(batch["net_input"], 4)
             net["question_mask"] = (np.arange(4) < rows).astype(np.int32)
-            trainer.rng, step_rng = jax.random.split(trainer.rng)
-            with trainer._state_lock:
-                trainer.state, comp = trainer._train_step(trainer.state, net, step_rng)
-            float(comp["loss"])
+            nets.append(net)
+        return nets
+
+    def run_full():
+        times, t_prev, n = [], None, 0
+        for batch in trainer._prefetched(sampler.load(fused_enc, 5, 4)):
+            net, rows = batch_pad(batch["net_input"], 4)
+            net["question_mask"] = (np.arange(4) < rows).astype(np.int32)
+            step_once(net)
             now = time.perf_counter()
-            if t_prev is not None and nsteps >= 4:
+            if t_prev is not None and n >= 4:
                 times.append(now - t_prev)
             t_prev = now
-            nsteps += 1
+            n += 1
         return float(np.median(times)) * 1e3
 
-    # compile both variants + a full throwaway round each
-    print("warmup fused:", round(one_pass(fused_enc), 1), flush=True)
-    print("warmup plain:", round(one_pass(plain_enc), 1), flush=True)
+    prebuilt = nets_of_pass()
 
-    res = {"fused": [], "plain": []}
+    def run_prebuilt():
+        times, t_prev = [], None
+        for i, net in enumerate(prebuilt):
+            step_once(net)
+            now = time.perf_counter()
+            if t_prev is not None and i >= 4:
+                times.append(now - t_prev)
+            t_prev = now
+        return float(np.median(times)) * 1e3
+
+    ondev = [
+        {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v) for k, v in net.items()}
+        for net in prebuilt
+    ]
+
+    def run_predev():
+        times, t_prev = [], None
+        for i, net in enumerate(ondev):
+            step_once(net)
+            now = time.perf_counter()
+            if t_prev is not None and i >= 4:
+                times.append(now - t_prev)
+            t_prev = now
+        return float(np.median(times)) * 1e3
+
+    variants = {"full": run_full, "prebuilt": run_prebuilt, "predev": run_predev}
+    # compile + one full throwaway round each
+    for name, fn in variants.items():
+        print(f"warmup {name}: {fn():.1f}", flush=True)
+
+    res = {k: [] for k in variants}
     for rep in range(4):
-        res["fused"].append(one_pass(fused_enc))
-        res["plain"].append(one_pass(plain_enc))
-        print(f"rep {rep}: fused {res['fused'][-1]:.1f} plain {res['plain'][-1]:.1f}",
-              flush=True)
+        for name, fn in variants.items():
+            res[name].append(fn())
+        print(f"rep {rep}: " + " ".join(f"{k} {res[k][-1]:.1f}" for k in res), flush=True)
+    med = {k: round(float(np.median(v)), 1) for k, v in res.items()}
     print(json.dumps({
-        "fused_ms_median": round(float(np.median(res["fused"])), 1),
-        "plain_ms_median": round(float(np.median(res["plain"])), 1),
-        "fused": [round(x, 1) for x in res["fused"]],
-        "plain": [round(x, 1) for x in res["plain"]],
+        **med,
+        "sampler_cost_ms": round(med["full"] - med["prebuilt"], 1),
+        "transfer_cost_ms": round(med["prebuilt"] - med["predev"], 1),
+        "detail": {k: [round(x, 1) for x in v] for k, v in res.items()},
     }))
     sampler.close()
 
