@@ -373,6 +373,7 @@ def _qa_setup(args):
         candidates=args.candidates,
         regex=args.regex,
         question_batch=args.questions_per_batch,
+        retrieval_batch=args.retrieval_batch,
         # IVF is a coarse-quantized (approximate) search by construction:
         # exact=True would bypass the quantizer entirely, silently turning
         # --use-ivf into a no-op (round-1 advisor finding)
@@ -562,6 +563,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--train-batch-size", type=int, default=5, help="k paras/question")
         sp.add_argument("--questions-per-batch", type=int, default=1)
         sp.add_argument("--candidates", type=int, default=5000)
+        sp.add_argument("--retrieval-batch", type=int, default=0,
+                        help="questions retrieved per device dispatch during "
+                             "training (0 = questions-per-batch); larger "
+                             "amortizes dispatch latency, candidates go up "
+                             "to retrieval-batch/questions-per-batch steps "
+                             "stale")
         sp.add_argument("--eval-k", type=int, default=5)
         sp.add_argument("--learning-rate", type=float, default=1e-5)
         sp.add_argument("--accumulate-gradients", type=int, default=1,

@@ -47,6 +47,13 @@ class OnlineSamplerConfig:
     exact_search: bool = False   # exact MIPS (eval) vs approx (train, M=5000)
     num_workers: int = 0         # host threads for span matching/tensorizing
                                  # (replaces the reference's fork pools)
+    retrieval_batch: int = 0     # questions retrieved per device dispatch in
+                                 # load(); 0 = questions_per_batch. Larger
+                                 # values amortize the fixed per-dispatch
+                                 # latency over several train batches at the
+                                 # cost of candidates up to that many steps
+                                 # stale (prefetch already implies ~2; the
+                                 # params drift per step is tiny next to it)
 
 
 class OnlineSampler:
@@ -308,10 +315,11 @@ class OnlineSampler:
         CURRENT retriever params, so retrieval follows training)."""
         self._k = k
         B = questions_per_batch or self.cfg.question_batch
+        R = max(self.cfg.retrieval_batch, B)  # retrieval group (>= one batch)
         self.failed_retrieval = 0
         buffer: list[dict] = []
-        for group_start in range(0, len(self.qa_data), B):
-            group = self.qa_data[group_start : group_start + B]
+        for group_start in range(0, len(self.qa_data), R):
+            group = self.qa_data[group_start : group_start + R]
             questions = [qa["question"] for qa in group]
             q_ids, rows, _ = self._retrieve(
                 questions, query_encoder, gather_embeds=False

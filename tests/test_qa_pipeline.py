@@ -449,3 +449,24 @@ def test_packed_batch_step_equivalence(world, scfg, tmp_path):
     bad = {**net, "input_mask": net["input_mask"].copy()}
     bad["input_mask"][0, 0, -1] = 1 - bad["input_mask"][0, 0, -1]
     assert ta._pack_batch(bad) is None
+
+
+def test_retrieval_batch_grouping_same_batches(world, scfg):
+    """With a FIXED encoder, retrieving candidates for several train batches
+    in one device dispatch (retrieval_batch > questions_per_batch) must yield
+    exactly the same batches as per-batch retrieval."""
+    import dataclasses
+
+    kw = dict(matched_para_path=world["matched_path"])
+    s_plain = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], scfg, **kw)
+    grouped_cfg = dataclasses.replace(scfg, retrieval_batch=8)
+    s_grouped = OnlineSampler(world["qa_path"], world["tok"], world["db"], world["index"], grouped_cfg, **kw)
+    enc = _query_encoder(world)
+    want = list(s_plain.load(enc, k=3, questions_per_batch=4))
+    got = list(s_grouped.load(enc, k=3, questions_per_batch=4))
+    assert len(got) == len(want) and got
+    for bg, bw in zip(got, want):
+        assert bg["id"] == bw["id"]
+        for key in bg["net_input"]:
+            np.testing.assert_array_equal(bg["net_input"][key], bw["net_input"][key])
+    assert s_grouped.failed_retrieval == s_plain.failed_retrieval
