@@ -250,6 +250,10 @@ def _bench_qa_wall() -> dict:
     scfg = OnlineSamplerConfig(
         max_query_length=30, max_length=512, candidates=5000,
         question_batch=4, num_workers=0,
+        # production config: one fused retrieval dispatch serves 4 train
+        # batches (candidates <=4 steps stale; identical batches under a
+        # fixed encoder — test_retrieval_batch_grouping_same_batches)
+        retrieval_batch=16,
     )
     tcfg = QATrainerConfig(
         learning_rate=1e-5, questions_per_batch=4, train_k=5,
