@@ -98,6 +98,8 @@ def cmd_pretrain_retriever(args):
     tcfg = RetrieverTrainerConfig(
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        adam_eps=args.adam_eps,
         accumulate_gradients=args.accumulate_gradients,
         num_train_epochs=args.num_train_epochs,
         eval_period=args.eval_period,
@@ -342,6 +344,10 @@ def _qa_setup(args):
         seed=args.seed,
         output_dir=args.output_dir,
         do_lower_case=not args.cased,
+        weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        adam_eps=args.adam_eps,
+        max_answer_len=args.max_answer_len,
     )
     params = init_qa_params(jax.random.PRNGKey(args.seed), cfg, qcfg)
     if args.retriever_path:
@@ -472,6 +478,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--predict-batch-size", type=int, default=100)
     sp.add_argument("--learning-rate", type=float, default=1e-5)
     sp.add_argument("--weight-decay", type=float, default=0.0)
+    sp.add_argument("--max-grad-norm", type=float, default=5.0)
+    sp.add_argument("--adam-eps", type=float, default=1e-8)
     sp.add_argument("--accumulate-gradients", type=int, default=1)
     sp.add_argument("--num-train-epochs", type=int, default=100)
     sp.add_argument("--eval-period", type=int, default=2500)
@@ -571,6 +579,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "stale")
         sp.add_argument("--eval-k", type=int, default=5)
         sp.add_argument("--learning-rate", type=float, default=1e-5)
+        sp.add_argument("--weight-decay", type=float, default=0.0)
+        sp.add_argument("--max-grad-norm", type=float, default=5.0)
+        sp.add_argument("--adam-eps", type=float, default=1e-8)
+        sp.add_argument("--max-answer-len", type=int, default=10,
+                        help="max answer span in wordpieces at decode; the "
+                             "reference hardcodes 10 despite its flag's "
+                             "default 20 (train_retrieve_qa.py:301)")
         sp.add_argument("--accumulate-gradients", type=int, default=1,
                         help="grad-accum microbatches per optimizer step")
         sp.add_argument("--prefetch", type=int, default=2,
