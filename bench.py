@@ -198,55 +198,30 @@ def _bench_qa_wall() -> dict:
     (6k-para world so the top-5000 candidate shape is the production one),
     span matching on the host, prefetch thread on (default). The reference's
     per-question CPU<->GPU ping-pong workload, batched (SURVEY.md §3.4)."""
-    import tempfile
+    import sys
 
     import jax
     import jax.numpy as jnp
 
     from proqa_tpu.data.collate import batch_pad
-    from proqa_tpu.data.docdb import DocDB
-    from proqa_tpu.index.dense import DenseIndex
-    from proqa_tpu.index.idmap import IdMap
     from proqa_tpu.models.bert import BertConfig
     from proqa_tpu.models.reader import QAConfig
     from proqa_tpu.qa.sampler import OnlineSampler, OnlineSamplerConfig
-    from proqa_tpu.text.wordpiece import BertTokenizer
     from proqa_tpu.train.qa_trainer import QATrainer, QATrainerConfig
 
-    jax.config.update("jax_default_prng_impl", "rbg")
-    import random as pyrandom
+    # shared world definition: identical by construction to the one the A/B
+    # and decomposition tools (tools/qa_wall_ab.py etc.) measure, so the
+    # cross-tool numbers in ROADMAP.md stay comparable
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from qa_world import build_qa_world
 
-    root = tempfile.mkdtemp(prefix="bench_qa_")
-    words = [f"tok{i}" for i in range(2000)]
-    prng = pyrandom.Random(0)
-    paras = []
-    for i in range(6000):
-        ws = [prng.choice(words) for _ in range(220)]
-        if i % 2 == 0:
-            j = prng.randrange(len(ws) - 2)
-            ws[j : j + 2] = ["tok1", "tok2"]
-        paras.append((f"p{i}", " ".join(ws)))
-    DocDB.create(os.path.join(root, "docs.db"), paras).close()
-    qa_path = os.path.join(root, "qa.jsonl")
-    with open(qa_path, "w") as f:
-        for _ in range(48):
-            f.write(json.dumps({
-                "question": " ".join(prng.choice(words) for _ in range(6)),
-                "answer": ["tok1 tok2"],
-            }) + "\n")
-    vocab_path = os.path.join(root, "vocab.txt")
-    with open(vocab_path, "w") as f:
-        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words))
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    w = build_qa_world()
+    root, index = w["root"], w["index"]
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = BertConfig(dtype=jnp.bfloat16, remat=True, flash_attention=on_tpu)
-    tok = BertTokenizer.from_vocab_file(vocab_path)
-    db = DocDB(os.path.join(root, "docs.db"))
-    rng = np.random.default_rng(0)
-    index = DenseIndex.from_embeddings(
-        rng.standard_normal((len(paras), 128)).astype(np.float32),
-        id_map=IdMap([p[0] for p in paras]), dtype=jnp.bfloat16,
-    )
     scfg = OnlineSamplerConfig(
         max_query_length=30, max_length=512, candidates=5000,
         question_batch=4, num_workers=0,
@@ -262,7 +237,7 @@ def _bench_qa_wall() -> dict:
     )
     trainer = QATrainer(cfg, QAConfig(shared_norm=True), tcfg)
     trainer.set_corpus(index)
-    sampler = OnlineSampler(qa_path, tok, db, index, scfg)
+    sampler = OnlineSampler(w["qa_path"], w["tok"], w["db"], index, scfg)
 
     times, t_prev, nsteps = [], None, 0
     for batch in trainer._prefetched(sampler.load(trainer.query_encoder(), 5, 4)):

@@ -48,14 +48,44 @@ def _tokenizer(args):
 
 
 def _load_params(path: str, template):
-    """Load bare params or a full TrainState msgpack into a params template."""
+    """Load bare params or a full TrainState msgpack into a params template.
+
+    A ';'-joined path list loads a checkpoint ENSEMBLE as the uniform
+    parameter average ("model soup"). The reference accepts ';'-joined
+    checkpoints too (train_retriever.py:123-128 builds a model list) but
+    every consumer then crashes calling the list as a module
+    (train_retriever.py:294-301, get_embed.py:143-149); parameter averaging
+    is the one interpretation consistent with the rest of its pipeline
+    (every downstream artifact — index, retrieval, QA — assumes ONE
+    embedding space)."""
+    import numpy as np
     from flax import serialization
 
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    if isinstance(raw, dict) and set(raw.keys()) == {"step", "params", "opt_state"}:
-        raw = raw["params"]
-    return serialization.from_state_dict(template, raw)
+    def _one(p):
+        with open(p, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if isinstance(raw, dict) and set(raw.keys()) == {"step", "params", "opt_state"}:
+            raw = raw["params"]
+        return serialization.from_state_dict(template, raw)
+
+    paths = [p for p in path.split(";") if p]
+    if len(paths) == 1:
+        return _one(paths[0])
+    import jax
+
+    loaded = [_one(p) for p in paths]
+
+    def _avg(*xs):
+        first = np.asarray(xs[0])
+        # ints/bools (e.g. step counters) can't be averaged; every float
+        # family (incl. ml_dtypes bf16, whose kind isn't 'f' everywhere)
+        # goes through an f32 mean and back to its own dtype
+        if np.issubdtype(first.dtype, np.integer) or first.dtype == np.bool_:
+            return xs[0]
+        acc = np.mean(np.stack([np.asarray(x).astype(np.float32) for x in xs]), axis=0)
+        return acc.astype(first.dtype)
+
+    return jax.tree.map(_avg, *loaded)
 
 
 def _save_params(path: str, params):
@@ -67,6 +97,9 @@ def _save_params(path: str, params):
 def _add_common(p):
     p.add_argument("--vocab", required=True, help="wordpiece vocab file")
     p.add_argument("--cased", action="store_true")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler device trace of a few warm "
+                        "train steps into this directory (xprof/tensorboard)")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--max-seq-length", type=int, default=512)
@@ -108,6 +141,7 @@ def cmd_pretrain_retriever(args):
         warmup_steps=args.warmup_steps,
         seed=args.seed,
         output_dir=args.output_dir,
+        profile_dir=args.profile_dir,
     )
     params = None
     if args.init_checkpoint:
@@ -348,6 +382,7 @@ def _qa_setup(args):
         max_grad_norm=args.max_grad_norm,
         adam_eps=args.adam_eps,
         max_answer_len=args.max_answer_len,
+        profile_dir=args.profile_dir,
     )
     params = init_qa_params(jax.random.PRNGKey(args.seed), cfg, qcfg)
     if args.retriever_path:
@@ -407,6 +442,41 @@ def cmd_eval_qa(args):
         save_all_prefix=args.save_all or None,
     )
     print(json.dumps({"em": em}))
+
+
+def cmd_answer(args):
+    """Open-domain QA serving: retrieve top paragraphs, read, extract the
+    best answer span per question; one JSON line per question. The reference
+    has no inference-only entry point (qa/train_retrieve_qa.py only batch-
+    evals against gold answers); this drives the same retrieve->read->decode
+    path for questions without labels."""
+    if not (args.question or args.predict_file or args.stdin):
+        raise SystemExit(
+            "answer: provide --question (repeatable), --predict-file, or --stdin"
+        )
+    trainer, make_sampler = _qa_setup(args)
+    if args.stdin:
+        # warm serving loop: one JSON line out per question line in; params
+        # and compiled encode/search/read dispatch caches stay warm across
+        # questions (a fresh CLI invocation pays ~30s jax init + compiles)
+        import sys
+
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            q = json.loads(line)["question"] if line.startswith("{") else line
+            sampler = make_sampler([{"question": q}])
+            for row in trainer.answer(sampler, alpha=args.alpha, topn=args.topn):
+                print(json.dumps(row, ensure_ascii=False), flush=True)
+        return
+    data = (
+        [{"question": q} for q in args.question]
+        if args.question else args.predict_file
+    )
+    sampler = make_sampler(data)
+    for row in trainer.answer(sampler, alpha=args.alpha, topn=args.topn):
+        print(json.dumps(row, ensure_ascii=False))
 
 
 def cmd_convert_hf(args):
@@ -555,11 +625,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--num-workers", type=int, default=0)
     sp.set_defaults(fn=cmd_match_paras)
 
-    for name, fn in (("finetune-qa", cmd_finetune_qa), ("eval-qa", cmd_eval_qa)):
-        sp = sub.add_parser(name)
+    for name, fn in (
+        ("finetune-qa", cmd_finetune_qa),
+        ("eval-qa", cmd_eval_qa),
+        ("answer", cmd_answer),
+    ):
+        sp = sub.add_parser(
+            name,
+            help="question(s) -> extracted answer spans (inference only)"
+            if name == "answer" else None,
+        )
         _add_common(sp)
         sp.add_argument("--train-file", default="")
-        sp.add_argument("--predict-file", required=True)
+        sp.add_argument("--predict-file", required=(name != "answer"), default="",
+                        help="jsonl of {question[, answer]}" if name == "answer" else None)
         sp.add_argument("--db", required=True)
         sp.add_argument("--index", required=True)
         sp.add_argument("--matched-para-path", default="")
@@ -609,6 +688,16 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--save-all", default="", metavar="PREFIX",
                         help="dump all candidate predictions + ground truths + "
                              "per-alpha top-1 files under PREFIX (reference --save-all)")
+        if name == "answer":
+            sp.add_argument("--question", action="append", default=[],
+                            help="question text (repeatable; alternative to --predict-file)")
+            sp.add_argument("--alpha", type=float, default=0.8,
+                            help="span-vs-rank score mix for candidate ranking")
+            sp.add_argument("--topn", type=int, default=3,
+                            help="candidate answers to include per question")
+            sp.add_argument("--stdin", action="store_true",
+                            help="serve a question per stdin line (text or "
+                                 "{\"question\": ...} json), model kept warm")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("convert-hf")

@@ -134,6 +134,7 @@ class OnlineSampler:
     def _retrieve(
         self, questions: list[str], query_encoder: Callable,
         candidates: int | None = None, gather_embeds: bool = True,
+        pad_rows: int | None = None,
     ):
         c = self.cfg
         k = candidates or c.candidates
@@ -142,8 +143,11 @@ class OnlineSampler:
         ids = pad_to(q_ids, cfgq)
         mask = (ids != 0).astype(np.int32)
         nq = ids.shape[0]
-        bpad = min(c.question_batch, 256)
-        npad = (-nq) % bpad  # pad ragged last group to a fixed compile shape
+        # pad the ragged LAST group all the way to the standard group size
+        # (pad_rows): a smaller shape would trigger a fresh multi-minute
+        # remote compile for a once-per-epoch group
+        bpad = pad_rows or min(c.question_batch, 256)
+        npad = (-nq) % bpad
         if npad:
             ids = np.concatenate([ids, np.zeros((npad, cfgq), ids.dtype)])
             mask = np.concatenate([mask, np.zeros((npad, cfgq), mask.dtype)])
@@ -322,7 +326,8 @@ class OnlineSampler:
             group = self.qa_data[group_start : group_start + R]
             questions = [qa["question"] for qa in group]
             q_ids, rows, _ = self._retrieve(
-                questions, query_encoder, gather_embeds=False
+                questions, query_encoder, gather_embeds=False,
+                pad_rows=min(R, 256),
             )
             work = [(qa, qi, rr, None) for qa, qi, rr in zip(group, q_ids, rows)]
             if self.cfg.num_workers > 0:
@@ -352,7 +357,9 @@ class OnlineSampler:
         for group_start in range(0, len(self.qa_data), B):
             group = self.qa_data[group_start : group_start + B]
             questions = [qa["question"] for qa in group]
-            q_ids, rows, para_embeds = self._retrieve(questions, query_encoder, candidates=k)
+            q_ids, rows, para_embeds = self._retrieve(
+                questions, query_encoder, candidates=k, pad_rows=min(B, 256)
+            )
             examples = []
             for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
                 cand_ids = self.index.id_map.rows_to_ids(rr)
@@ -364,7 +371,7 @@ class OnlineSampler:
                 examples.append({
                     "qid": hash_question(qa["question"]),
                     "question": qa["question"],
-                    "answers": qa["answer"],
+                    "answers": qa.get("answer", []),  # serving inputs have no gold
                     "per_para": per_para,
                     "top_labels": np.zeros((k,), np.int32),
                     "para_embed": pe,

@@ -14,6 +14,7 @@ import dataclasses
 import functools
 import json
 import threading
+import weakref
 from typing import Callable, Iterator
 
 import jax
@@ -39,6 +40,7 @@ from proqa_tpu.text.squad import get_final_text, wordpieces_to_text
 from proqa_tpu.train import checkpoint as ckpt
 from proqa_tpu.train.optim import apply_gradients, init_train_state, make_optimizer
 from proqa_tpu.utils.logging import AverageMeter, MetricLogger, setup_logger
+from proqa_tpu.utils.profiling import StepTimer, TraceWindow
 
 ALPHA_GRID = (0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.5, 0.55, 0.6, 0.7, 0.8, 0.9, 1)
 
@@ -74,6 +76,8 @@ class QATrainerConfig:
     prefetch_batches: int = 2  # sampler batches built ahead of the device
                                # (host span matching overlaps TPU steps);
                                # 0 disables the prefetch thread
+    profile_dir: str = ""      # jax.profiler device trace of a few warm steps
+    profile_steps: int = 3
 
 
 class QATrainer:
@@ -208,7 +212,9 @@ class QATrainer:
 
         self._raw_encode_query = lambda p, ids, mask: encode_query(p, bert_cfg, ids, mask)
         self._encode_query = jax.jit(self._raw_encode_query)
-        self._fused_cache: dict = {}  # (index id, k, exact, ids shape) -> (fn, operands) | None
+        # (index id, k, exact, ids shape) ->
+        #   (weakref(index), (fn, operands) | None, consecutive_failures)
+        self._fused_cache: dict = {}
         # Serializes state-reading dispatches against the train step's
         # donate+reassign: the prefetch thread encodes queries with the live
         # params, and must never capture a state whose buffers were just
@@ -253,7 +259,8 @@ class QATrainer:
             for v in batch.values()
         ):
             return None
-        if "input_ids" not in batch or "input_ids_q" not in batch:
+        needed = ("input_ids", "input_ids_q", "input_mask", "input_mask_q")
+        if any(k not in batch for k in needed):
             return None
         if not np.array_equal(batch["input_mask"], batch["input_ids"] != 0) or \
                 not np.array_equal(batch["input_mask_q"], batch["input_ids_q"] != 0):
@@ -304,14 +311,28 @@ class QATrainer:
 
         return _LiveEncoder()
 
+    _FUSED_MAX_FAILURES = 3  # consecutive dispatch errors before giving up
+
     def _encode_search(self, ids, mask, index, k: int, exact: bool):
         """One-dispatch encode+search against `index` with the live retriever
         params. Returns (vals, idx) as host arrays with the same contract as
         DenseIndex.search, or None when the index can't fuse (caller falls
-        back to the two-dispatch path)."""
+        back to the two-dispatch path).
+
+        Cache notes: entries are keyed by id(index) but validated against a
+        weakref before use — CPython reuses addresses, and a hit on a NEW
+        index at a dead index's address would silently search the old
+        corpus. Dead indexes' entries are purged via weakref callback so the
+        cache never pins a retired index's device embeddings. Transient
+        dispatch errors (the tunnel/remote compiler flakes) do NOT poison
+        the entry; only _FUSED_MAX_FAILURES consecutive failures disable the
+        fused path for that key."""
         ids = np.asarray(ids)
         key = (id(index), int(k), bool(exact), ids.shape)
-        if key not in self._fused_cache:
+        cached = self._fused_cache.get(key)
+        if cached is not None and cached[0]() is not index:
+            cached = None  # id reused by a different (or rebuilt) index
+        if cached is None:
             entry = index.fused_search_fn(
                 self._raw_encode_query, k, exact=exact, q_count=ids.shape[0]
             )
@@ -319,9 +340,17 @@ class QATrainer:
                 # e.g. params replicated over a multi-device mesh while the
                 # index sits on one device — jit would reject mixed sets
                 entry = None
-            self._fused_cache[key] = entry
-        entry = self._fused_cache[key]
-        if entry is None:
+            # the callback cycle (cache -> weakref -> bound _purge_fused ->
+            # trainer -> cache) is gc-collectable; neither class defines
+            # __del__
+            ref = weakref.ref(index, self._purge_fused)
+            cached = (
+                (ref, None, self._FUSED_MAX_FAILURES) if entry is None
+                else (ref, entry, 0)
+            )
+            self._fused_cache[key] = cached
+        ref, entry, failures = cached
+        if entry is None or failures >= self._FUSED_MAX_FAILURES:
             return None
         fn, operands = entry
         try:
@@ -332,18 +361,29 @@ class QATrainer:
                     self.state.params["retriever"], jnp.asarray(ids), *operands
                 )
         except Exception as e:  # never kill training over a fusion fast path
+            failures += 1
+            self._fused_cache[key] = (ref, entry, failures)
             self.logger.warning(
                 f"fused encode+search failed ({type(e).__name__}: {e}); "
-                "falling back to two-dispatch retrieval"
+                f"falling back to two-dispatch retrieval "
+                f"({failures}/{self._FUSED_MAX_FAILURES} before disabling)"
             )
-            self._fused_cache[key] = None
             return None
+        if failures:
+            self._fused_cache[key] = (ref, entry, 0)  # success resets the count
         vals, idx = (np.asarray(x) for x in out)
         if vals.shape[1] < k:  # degenerate tiny-corpus case, as DenseIndex.search
             pad = k - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, pad)))
         return vals, idx
+
+    def _purge_fused(self, dead_ref) -> None:
+        """weakref callback: drop cache entries of a collected index so the
+        cache never keeps a retired index's embeddings alive."""
+        self._fused_cache = {
+            k: v for k, v in self._fused_cache.items() if v[0] is not dead_ref
+        }
 
     def _devices_compatible(self, operands) -> bool:
         leaves = jax.tree_util.tree_leaves(self.state.params)
@@ -372,6 +412,80 @@ class QATrainer:
 
     # -------------------- evaluation --------------------
 
+    def _iter_candidate_predictions(self, sampler, B: int):
+        """Retrieve + read + decode: yields one
+        (qid, question, true_answers, [Prediction x eval_k]) tuple per
+        question. Shared decode path of `predict` (batch EM eval) and
+        `answer` (one-shot serving)."""
+        t = self.tcfg
+        for batch in self._prefetched(sampler.eval_load(self.query_encoder(), t.eval_k, B)):
+            net, rows = batch_pad(batch["net_input"], B)
+            out = self._eval_step(self.state.params, self._device_batch(net))
+            start = np.asarray(out["start"])[:rows]
+            end = np.asarray(out["end"])[:rows]
+            span_score = np.asarray(out["span_score"])[:rows]
+            rank_score = np.asarray(out["rank_score"])[:rows]
+
+            for qi, qid in enumerate(batch["id"]):
+                preds = []
+                for pi in range(t.eval_k):
+                    off = batch["para_offset"][qi][pi]
+                    s = int(start[qi, pi]) - off
+                    e = int(end[qi, pi]) - off
+                    t2o = batch["tok_to_orig_index"][qi][pi]
+                    doc_tokens = batch["doc_tokens"][qi][pi]
+                    wp = batch["wp_tokens"][qi][pi]
+                    if not wp or s < 0 or s >= len(t2o):
+                        final = ""
+                    else:
+                        e = min(e, len(t2o) - 1)
+                        tok_text = wordpieces_to_text(wp[s : e + 1])
+                        orig_text = " ".join(doc_tokens[t2o[s] : t2o[e] + 1])
+                        final = get_final_text(
+                            tok_text, orig_text, do_lower_case=t.do_lower_case, verbose=False
+                        )
+                    preds.append(Prediction(
+                        text=final,
+                        rank_score=float(rank_score[qi, pi]),
+                        span_score=float(span_score[qi, pi]),
+                        passage=" ".join(doc_tokens),
+                        question=batch["q"][qi],
+                    ))
+                yield qid, batch["q"][qi], batch["true_answers"][qi], preds
+
+    def answer(self, sampler, alpha: float = 0.8, topn: int = 3) -> list[dict]:
+        """One-shot open-domain QA inference (the serving path): retrieve
+        eval_k paragraphs, read, extract the best span per question, rank
+        candidates by alpha*span + (1-alpha)*rank. The reference exposes no
+        single-question path (train_retrieve_qa.py:280-330 only batch-evals
+        against gold answers); this is predict's decode without the sweep.
+        """
+        results = []
+        for _qid, question, _ans, preds in self._iter_candidate_predictions(
+            sampler, sampler.cfg.question_batch
+        ):
+            ranked = sorted(
+                preds,
+                key=lambda x: alpha * x.span_score + (1 - alpha) * x.rank_score,
+                reverse=True,
+            )
+            results.append({
+                "question": question,
+                "answer": ranked[0].text if ranked else "",
+                "alpha": alpha,
+                "candidates": [
+                    {
+                        "answer": p.text,
+                        "score": round(alpha * p.span_score + (1 - alpha) * p.rank_score, 4),
+                        "span_score": round(p.span_score, 4),
+                        "rank_score": round(p.rank_score, 4),
+                        "passage": p.passage,
+                    }
+                    for p in ranked[:topn]
+                ],
+            })
+        return results
+
     def predict(
         self,
         sampler,
@@ -392,39 +506,9 @@ class QATrainer:
         qid2ground: dict[str, list] = {}
         B = sampler.cfg.question_batch
 
-        for batch in self._prefetched(sampler.eval_load(self.query_encoder(), t.eval_k, B)):
-            net, rows = batch_pad(batch["net_input"], B)
-            out = self._eval_step(self.state.params, self._device_batch(net))
-            start = np.asarray(out["start"])[:rows]
-            end = np.asarray(out["end"])[:rows]
-            span_score = np.asarray(out["span_score"])[:rows]
-            rank_score = np.asarray(out["rank_score"])[:rows]
-
-            for qi, qid in enumerate(batch["id"]):
-                qid2ground[qid] = batch["true_answers"][qi]
-                for pi in range(t.eval_k):
-                    off = batch["para_offset"][qi][pi]
-                    s = int(start[qi, pi]) - off
-                    e = int(end[qi, pi]) - off
-                    t2o = batch["tok_to_orig_index"][qi][pi]
-                    doc_tokens = batch["doc_tokens"][qi][pi]
-                    wp = batch["wp_tokens"][qi][pi]
-                    if not wp or s < 0 or s >= len(t2o):
-                        final = ""
-                    else:
-                        e = min(e, len(t2o) - 1)
-                        tok_text = wordpieces_to_text(wp[s : e + 1])
-                        orig_text = " ".join(doc_tokens[t2o[s] : t2o[e] + 1])
-                        final = get_final_text(
-                            tok_text, orig_text, do_lower_case=t.do_lower_case, verbose=False
-                        )
-                    qid2results[qid].append(Prediction(
-                        text=final,
-                        rank_score=float(rank_score[qi, pi]),
-                        span_score=float(span_score[qi, pi]),
-                        passage=" ".join(doc_tokens),
-                        question=batch["q"][qi],
-                    ))
+        for qid, _q, true_answers, preds in self._iter_candidate_predictions(sampler, B):
+            qid2ground[qid] = true_answers
+            qid2results[qid].extend(preds)
 
         if save_all_prefix:
             # reference --save-all (train_retrieve_qa.py:359-364): every
@@ -470,22 +554,26 @@ class QATrainer:
             self.set_corpus(train_sampler.index)
         best_em, wait, stop = 0.0, 0, False
         meter = AverageMeter()
+        timer = StepTimer()
+        tracer = TraceWindow(t.profile_dir, steps=t.profile_steps, logger=self.logger)
         for epoch in range(t.num_train_epochs):
             train_sampler.shuffle(seed=t.seed + epoch)
             for batch in self._prefetched(train_sampler.load(
                 self.query_encoder(), t.train_k, t.questions_per_batch
             )):
+                tracer.tick()
                 net, rows = batch_pad(batch["net_input"], t.questions_per_batch)
                 net["question_mask"] = (
                     np.arange(t.questions_per_batch) < rows
                 ).astype(np.int32)
                 self.rng, step_rng = jax.random.split(self.rng)
-                with self._state_lock:
-                    # host net passed raw: _train_step packs it into a single
-                    # device transfer when eligible (_pack_batch)
-                    self.state, comp = self._train_step(self.state, net, step_rng)
+                with timer:
+                    with self._state_lock:
+                        # host net passed raw: _train_step packs it into a
+                        # single device transfer when eligible (_pack_batch)
+                        self.state, comp = self._train_step(self.state, net, step_rng)
+                    loss = float(comp["loss"])  # forces the step inside the timer
                 step = int(self.state.step)
-                loss = float(comp["loss"])
                 meter.update(loss)
                 self.metrics.scalar("train_loss", loss, step)
 
@@ -522,5 +610,10 @@ class QATrainer:
                     stop = True
             if stop:
                 break
+        tracer.close()
+        ts = timer.summary()
+        if ts:
+            self.metrics.scalar("step_p50_ms", ts["p50_s"] * 1e3, int(self.state.step))
+            self.metrics.scalar("steps_per_s", ts["steps_per_s"], int(self.state.step))
         self.logger.info("Training finished!")
         return best_em

@@ -30,6 +30,7 @@ from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from proqa_tpu.train import checkpoint as ckpt
 from proqa_tpu.train.optim import TrainState, apply_gradients, init_train_state, make_optimizer
 from proqa_tpu.utils.logging import AverageMeter, MetricLogger, setup_logger
+from proqa_tpu.utils.profiling import StepTimer, TraceWindow
 
 
 def in_batch_loss(out: dict) -> tuple[jax.Array, jax.Array]:
@@ -114,6 +115,9 @@ class RetrieverTrainerConfig:
     fast_prng: bool = True  # TPU hardware RNG for dropout masks (threefry
                             # mask generation costs ~40% of a BERT-base step
                             # with remat; rbg reclaims ~half of that)
+    profile_dir: str = ""   # capture a jax.profiler device trace of a few
+                            # warm steps here (view with xprof/tensorboard)
+    profile_steps: int = 3  # traced steps (the compile step is skipped)
 
 
 class RetrieverTrainer:
@@ -198,15 +202,19 @@ class RetrieverTrainer:
         t = self.tcfg
         best_acc, wait, stop = 0.0, 0, False
         meter = AverageMeter()
+        timer = StepTimer()
+        tracer = TraceWindow(t.profile_dir, steps=t.profile_steps, logger=self.logger)
         for epoch in range(t.num_train_epochs):
             for batch in train_batches_fn(epoch):
+                tracer.tick()
                 batch.pop("__rows__", None)
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, m = self._train_step(
-                    self.state, self._device_batch(batch), step_rng
-                )
+                with timer:
+                    self.state, m = self._train_step(
+                        self.state, self._device_batch(batch), step_rng
+                    )
+                    loss = float(m["loss"])  # forces the step inside the timer
                 step = int(self.state.step)
-                loss = float(m["loss"])
                 meter.update(loss)
                 self.metrics.scalar("train_loss", loss, step)
                 self.metrics.scalar("smoothed_train_loss", meter.avg, step)
@@ -215,10 +223,15 @@ class RetrieverTrainer:
                     self.save(f"checkpoint_{step}")
                 if step % t.eval_period == 0:
                     acc = self.evaluate(eval_batches_fn())
+                    ts = timer.summary()
                     self.logger.info(
-                        f"Step {step} Train loss {meter.avg:.2f} Acc {acc*100:.2f} epoch={epoch}"
+                        f"Step {step} Train loss {meter.avg:.2f} Acc {acc*100:.2f} "
+                        f"epoch={epoch} {ts.get('steps_per_s', 0):.2f} steps/s"
                     )
                     self.metrics.scalar("dev_acc", acc * 100, step)
+                    if ts:
+                        self.metrics.scalar("step_p50_ms", ts["p50_s"] * 1e3, step)
+                        self.metrics.scalar("steps_per_s", ts["steps_per_s"], step)
                     self.save("checkpoint_last")
                     if acc > best_acc:
                         self.save("checkpoint_best")
@@ -230,5 +243,10 @@ class RetrieverTrainer:
                             break
             if stop:
                 break
+        tracer.close()
+        ts = timer.summary()
+        if ts:
+            self.metrics.scalar("step_p50_ms", ts["p50_s"] * 1e3, int(self.state.step))
+            self.metrics.scalar("steps_per_s", ts["steps_per_s"], int(self.state.step))
         self.logger.info("Training finished!")
         return best_acc

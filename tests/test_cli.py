@@ -182,6 +182,39 @@ def test_cli_pretrain_and_index_pipeline(world, capsys):
     assert max(diffs) > 0.0, "phase-2 training did not update the parameters"
 
 
+def test_load_params_ensemble(tmp_path):
+    """';'-joined checkpoint paths load as the uniform parameter average
+    ("model soup") — the consistent interpretation of the reference's
+    ensemble flag (train_retriever.py:123-128 builds a model LIST, but every
+    consumer then crashes calling the list as a module)."""
+    import jax
+    import jax.numpy as jnp
+
+    from proqa_tpu.cli.main import _load_params
+    from proqa_tpu.models.bert import BertConfig
+    from proqa_tpu.models.retriever import init_retriever_params
+    from proqa_tpu.train.checkpoint import save_checkpoint
+
+    cfg = BertConfig.tiny(dtype=jnp.float32)
+    a = init_retriever_params(jax.random.PRNGKey(1), cfg)
+    b = init_retriever_params(jax.random.PRNGKey(2), cfg)
+    pa, pb = str(tmp_path / "a.msgpack"), str(tmp_path / "b.msgpack")
+    save_checkpoint(pa, a)
+    save_checkpoint(pb, b)
+
+    template = init_retriever_params(jax.random.PRNGKey(0), cfg)
+    soup = _load_params(f"{pa};{pb}", template)
+    want = jax.tree.map(
+        lambda x, y: (np.asarray(x, np.float32) + np.asarray(y, np.float32)) / 2, a, b
+    )
+    for got, exp in zip(jax.tree.leaves(soup), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(got, np.float32), exp, rtol=1e-6)
+    # single path is unchanged by the ensemble machinery
+    one = _load_params(pa, template)
+    for got, exp in zip(jax.tree.leaves(one), jax.tree.leaves(a)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
 def test_cli_match_paras(world, capsys):
     with open(world / "retrieved.jsonl", "w") as f:
         for _ in range(8):
@@ -265,6 +298,84 @@ def test_cli_qa_eval_and_finetune(world, capsys):
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "best_em" in out
+
+
+def test_cli_answer(world, capsys):
+    """`proqa answer`: the inference-only serving path — questions in (no
+    gold labels), one JSON line per question with the extracted span and
+    ranked candidates out."""
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("index pipeline test must run first")
+    ckpt = str(world / "retriever_run" / "checkpoint_last.msgpack")
+    common = [
+        *_common(world),
+        "--db", str(world / "docs.db"),
+        "--index", str(world / "index"),
+        "--retriever-path", ckpt,
+        "--train-batch-size", "2",
+        "--candidates", "8",
+        "--eval-k", "2",
+        "--output-dir", str(world / "qa_answer"),
+    ]
+    main([
+        "answer", *common,
+        "--question", "what is about tok3",
+        "--question", "what is about tok7",
+        "--topn", "2",
+    ])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 2
+    rows = [json.loads(l) for l in lines]
+    assert rows[0]["question"] == "what is about tok3"
+    assert {"question", "answer", "alpha", "candidates"} <= set(rows[0])
+    assert 1 <= len(rows[0]["candidates"]) <= 2
+    cand = rows[0]["candidates"][0]
+    assert {"answer", "score", "span_score", "rank_score", "passage"} <= set(cand)
+    # candidates come ranked by the combined score
+    scores = [c["score"] for c in rows[0]["candidates"]]
+    assert scores == sorted(scores, reverse=True)
+
+    # file input without gold answers works too
+    qfile = world / "serve_q.jsonl"
+    with open(qfile, "w") as f:
+        f.write(json.dumps({"question": "what is about tok9"}) + "\n")
+    main(["answer", *common, "--predict-file", str(qfile)])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert json.loads(lines[-1])["question"] == "what is about tok9"
+
+
+def test_cli_answer_stdin_serving(world, capsys, monkeypatch):
+    """`proqa answer --stdin`: the warm serving loop — one JSON line per
+    stdin question line (raw text or {"question": ...})."""
+    import io
+
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("index pipeline test must run first")
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "what is about tok4\n"
+        "\n"  # blank lines are skipped
+        + json.dumps({"question": "what is about tok6"}) + "\n"
+    ))
+    main([
+        "answer", *_common(world),
+        "--db", str(world / "docs.db"),
+        "--index", str(world / "index"),
+        "--retriever-path", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+        "--train-batch-size", "2",
+        "--candidates", "8",
+        "--eval-k", "2",
+        "--output-dir", str(world / "qa_serve"),
+        "--stdin",
+    ])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    rows = [json.loads(l) for l in lines]
+    assert [r["question"] for r in rows] == [
+        "what is about tok4", "what is about tok6",
+    ]
+    assert all("answer" in r and "candidates" in r for r in rows)
 
 
 def test_cli_build_db(world, capsys, tmp_path):

@@ -411,6 +411,73 @@ def test_fused_encode_search_in_sampler(world, scfg, tmp_path):
             np.testing.assert_array_equal(bg["net_input"][key], bw["net_input"][key])
 
 
+def test_fused_cache_hardening(world, scfg, tmp_path):
+    """_encode_search's cache must (a) not serve an entry whose weakref no
+    longer points at the index it is keyed by (CPython reuses addresses, so
+    an id()-keyed hit can be a different index), (b) tolerate transient
+    dispatch failures, disabling the fused path only after
+    _FUSED_MAX_FAILURES consecutive errors and resetting the count on
+    success, and (c) purge entries when their index is garbage-collected."""
+    import gc
+    import weakref
+
+    trainer = _make_trainer(world, tmp_path, "fused_hard", mesh_size=1)
+    enc = trainer.query_encoder()
+    ids = np.array([[2, 5, 6, 3] + [0] * 8, [2, 7, 8, 9, 3] + [0] * 7], np.int32)
+    mask = (ids != 0).astype(np.int32)
+    index = world["index"]
+    key = (id(index), 7, True, ids.shape)
+
+    # (a) stale entry at a reused address: must be rebuilt, never dispatched
+    class _Decoy:
+        pass
+
+    decoy = _Decoy()
+
+    def _wrong_fn(*a, **kw):
+        raise AssertionError("stale cache entry must not be dispatched")
+
+    trainer._fused_cache[key] = (weakref.ref(decoy), (_wrong_fn, ()), 0)
+    res = enc.encode_search(ids, mask, index, 7, True)
+    assert res is not None, "rebuilt entry must engage"
+    embeds = np.asarray(enc(ids, mask), np.float32)
+    _, want_idx = index.search(embeds, 7, exact=True)
+    np.testing.assert_array_equal(res[1], want_idx)
+
+    # (b) transient failures fall back without poisoning, then disable
+    ref, (real_fn, operands), _ = trainer._fused_cache[key]
+    calls = {"n": 0}
+
+    def _flaky(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("transient tunnel flake")
+
+    trainer._fused_cache[key] = (ref, (_flaky, operands), 0)
+    for _ in range(trainer._FUSED_MAX_FAILURES):
+        assert enc.encode_search(ids, mask, index, 7, True) is None
+    assert calls["n"] == trainer._FUSED_MAX_FAILURES
+    assert enc.encode_search(ids, mask, index, 7, True) is None
+    assert calls["n"] == trainer._FUSED_MAX_FAILURES, "disabled entry must not dispatch"
+    # a success resets the consecutive-failure count
+    trainer._fused_cache[key] = (
+        ref, (real_fn, operands), trainer._FUSED_MAX_FAILURES - 1
+    )
+    assert enc.encode_search(ids, mask, index, 7, True) is not None
+    assert trainer._fused_cache[key][2] == 0
+
+    # (c) a collected index purges its cache entries (no pinned embeddings)
+    tmp_index = DenseIndex.from_embeddings(
+        np.asarray(index.embeddings, np.float32).copy(),
+        dtype=jnp.float32, pad_multiple=8,
+    )
+    assert enc.encode_search(ids, mask, tmp_index, 5, True) is not None
+    tkey = (id(tmp_index), 5, True, ids.shape)
+    assert tkey in trainer._fused_cache
+    del tmp_index
+    gc.collect()
+    assert tkey not in trainer._fused_cache
+
+
 def test_packed_batch_step_equivalence(world, scfg, tmp_path):
     """The single-transfer packed path (_pack_batch: one flat int32 buffer,
     masks re-derived on device) must produce bit-identical loss and params

@@ -156,6 +156,7 @@ def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
     tcfg = RetrieverTrainerConfig(
         learning_rate=1e-3, eval_period=2, save_checkpoints_steps=4,
         num_train_epochs=2, wait_step=100, output_dir=str(tmp_path / "run"), seed=1,
+        profile_dir=str(tmp_path / "trace"), profile_steps=2,
     )
     trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
     train_b = _toy_batches(cfg, 6, 16)
@@ -166,10 +167,16 @@ def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
     assert os.path.exists(tmp_path / "run" / "checkpoint_last.msgpack")
     assert os.path.exists(tmp_path / "run" / "checkpoint_best.msgpack")
     assert os.path.exists(tmp_path / "run" / "checkpoint_4.msgpack")
-    # metrics stream written
+    # metrics stream written, incl. the StepTimer summary scalars
     lines = open(tmp_path / "run" / "metrics.jsonl").read().strip().splitlines()
     tags = {json.loads(l)["tag"] for l in lines}
-    assert {"train_loss", "dev_acc"} <= tags
+    assert {"train_loss", "dev_acc", "step_p50_ms", "steps_per_s"} <= tags
+    # profile_dir captured a device trace of the warm-step window
+    trace_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_path / "trace") for f in fs
+    ]
+    assert trace_files, "profile_dir produced no trace artifacts"
 
     # resume restores step
     trainer2 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
@@ -201,3 +208,49 @@ def test_resume_continues_training(tmp_path, cfg):
     t2.rng, r = jax.random.split(t2.rng)
     t2.state, m = t2._train_step(t2.state, t2._device_batch(batch), r)
     assert int(t2.state.step) == 4 and np.isfinite(float(m["loss"]))
+
+
+def test_trace_window_boundaries_and_failure_tolerance(monkeypatch):
+    """TraceWindow traces exactly `steps` iterations after `skip` warm-up
+    ones, closes idempotently, and a failing profiler disables the window
+    instead of raising (the axon remote backend may not support tracing)."""
+    from proqa_tpu.utils.profiling import TraceWindow
+
+    calls = []
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda d: calls.append(("start", d)))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda: calls.append(("stop",)))
+
+    w = TraceWindow("dir", steps=2, skip=1)
+    for _ in range(6):
+        w.tick()
+    w.close()
+    w.close()  # idempotent
+    assert calls == [("start", "dir"), ("stop",)]
+
+    # empty dir => fully inert
+    calls.clear()
+    w = TraceWindow("", steps=2)
+    for _ in range(4):
+        w.tick()
+    w.close()
+    assert calls == []
+
+    # loop shorter than the window: close() stops the open trace
+    calls.clear()
+    w = TraceWindow("dir", steps=10, skip=0)
+    w.tick()
+    w.close()
+    assert calls == [("start", "dir"), ("stop",)]
+
+    # profiler failure: one attempt, then disabled, never raises
+    def _boom(d):
+        calls.append(("boom", d))
+        raise RuntimeError("unsupported")
+
+    calls.clear()
+    monkeypatch.setattr(jax.profiler, "start_trace", _boom)
+    w = TraceWindow("dir", steps=2, skip=0)
+    for _ in range(4):
+        w.tick()
+    w.close()
+    assert calls == [("boom", "dir")]

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-import random as pyrandom
-import tempfile
 import time
 
 import numpy as np
@@ -21,48 +19,17 @@ def main() -> None:
     import jax.numpy as jnp
 
     from proqa_tpu.data.collate import batch_pad
-    from proqa_tpu.data.docdb import DocDB
-    from proqa_tpu.index.dense import DenseIndex
-    from proqa_tpu.index.idmap import IdMap
     from proqa_tpu.models.bert import BertConfig
     from proqa_tpu.models.reader import QAConfig
     from proqa_tpu.qa.sampler import OnlineSampler, OnlineSamplerConfig
-    from proqa_tpu.text.wordpiece import BertTokenizer
     from proqa_tpu.train.qa_trainer import QATrainer, QATrainerConfig
+    from qa_world import build_qa_world
 
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    root = tempfile.mkdtemp(prefix="ab_qa_")
-    words = [f"tok{i}" for i in range(2000)]
-    prng = pyrandom.Random(0)
-    paras = []
-    for i in range(6000):
-        ws = [prng.choice(words) for _ in range(220)]
-        if i % 2 == 0:
-            j = prng.randrange(len(ws) - 2)
-            ws[j : j + 2] = ["tok1", "tok2"]
-        paras.append((f"p{i}", " ".join(ws)))
-    DocDB.create(os.path.join(root, "docs.db"), paras).close()
-    qa_path = os.path.join(root, "qa.jsonl")
-    with open(qa_path, "w") as f:
-        for _ in range(48):
-            f.write(json.dumps({
-                "question": " ".join(prng.choice(words) for _ in range(6)),
-                "answer": ["tok1 tok2"],
-            }) + "\n")
-    vocab_path = os.path.join(root, "vocab.txt")
-    with open(vocab_path, "w") as f:
-        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words))
-
+    w = build_qa_world()
     on_tpu = jax.default_backend() == "tpu"
     cfg = BertConfig(dtype=jnp.bfloat16, remat=True, flash_attention=on_tpu)
-    tok = BertTokenizer.from_vocab_file(vocab_path)
-    db = DocDB(os.path.join(root, "docs.db"))
-    rng = np.random.default_rng(0)
-    index = DenseIndex.from_embeddings(
-        rng.standard_normal((len(paras), 128)).astype(np.float32),
-        id_map=IdMap([p[0] for p in paras]), dtype=jnp.bfloat16,
-    )
     scfg = OnlineSamplerConfig(
         max_query_length=30, max_length=512, candidates=5000,
         question_batch=4, num_workers=0,
@@ -70,11 +37,11 @@ def main() -> None:
     tcfg = QATrainerConfig(
         learning_rate=1e-5, questions_per_batch=4, train_k=5,
         num_train_epochs=1, eval_period=-1, prefetch_batches=2,
-        output_dir=os.path.join(root, "run"),
+        output_dir=os.path.join(w["root"], "run"),
     )
     trainer = QATrainer(cfg, QAConfig(shared_norm=True), tcfg)
-    trainer.set_corpus(index)
-    sampler = OnlineSampler(qa_path, tok, db, index, scfg)
+    trainer.set_corpus(w["index"])
+    sampler = OnlineSampler(w["qa_path"], w["tok"], w["db"], w["index"], scfg)
 
     fused_enc = trainer.query_encoder()
 
