@@ -12,6 +12,8 @@ Subcommands (mapping to SURVEY.md §3 workloads):
   match-paras          weak-supervision gold-para matching (prepro_dense)
   finetune-qa          joint retrieve+read training (§3.4)
   eval-qa              EM eval with the rank/span alpha sweep
+  answer               inference-only QA: question(s) -> answer spans
+  serve                warm HTTP QA serving (GET/POST /answer)
   convert-hf           torch BERT/retriever checkpoint -> our params
   convert-trec / convert-msmarco   dataset converters
   build-db             jsonl corpus -> sqlite document store
@@ -479,6 +481,31 @@ def cmd_answer(args):
         print(json.dumps(row, ensure_ascii=False))
 
 
+def cmd_serve(args):
+    """HTTP QA serving: model + device-resident index + compiled dispatches
+    stay warm across requests (serving.py; the reference has no serving
+    layer, SURVEY §1)."""
+    from proqa_tpu.serving import make_qa_server
+
+    trainer, make_sampler = _qa_setup(args)
+    if args.warmup:
+        # pay jit compiles before accepting traffic
+        trainer.answer(make_sampler([{"question": args.warmup}]),
+                       alpha=args.alpha, topn=args.topn)
+    server = make_qa_server(
+        trainer, make_sampler, host=args.host, port=args.port,
+        alpha=args.alpha, topn=args.topn, logger=trainer.logger,
+    )
+    host, port = server.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}/answer"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
 def cmd_convert_hf(args):
     import torch
 
@@ -625,19 +652,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--num-workers", type=int, default=0)
     sp.set_defaults(fn=cmd_match_paras)
 
+    _QA_HELP = {
+        "answer": "question(s) -> extracted answer spans (inference only)",
+        "serve": "warm HTTP QA serving (GET/POST /answer; see serving.py)",
+    }
     for name, fn in (
         ("finetune-qa", cmd_finetune_qa),
         ("eval-qa", cmd_eval_qa),
         ("answer", cmd_answer),
+        ("serve", cmd_serve),
     ):
-        sp = sub.add_parser(
-            name,
-            help="question(s) -> extracted answer spans (inference only)"
-            if name == "answer" else None,
-        )
+        sp = sub.add_parser(name, help=_QA_HELP.get(name))
         _add_common(sp)
         sp.add_argument("--train-file", default="")
-        sp.add_argument("--predict-file", required=(name != "answer"), default="",
+        sp.add_argument("--predict-file",
+                        required=name not in ("answer", "serve"), default="",
                         help="jsonl of {question[, answer]}" if name == "answer" else None)
         sp.add_argument("--db", required=True)
         sp.add_argument("--index", required=True)
@@ -688,16 +717,23 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--save-all", default="", metavar="PREFIX",
                         help="dump all candidate predictions + ground truths + "
                              "per-alpha top-1 files under PREFIX (reference --save-all)")
-        if name == "answer":
-            sp.add_argument("--question", action="append", default=[],
-                            help="question text (repeatable; alternative to --predict-file)")
+        if name in ("answer", "serve"):
             sp.add_argument("--alpha", type=float, default=0.8,
                             help="span-vs-rank score mix for candidate ranking")
             sp.add_argument("--topn", type=int, default=3,
                             help="candidate answers to include per question")
+        if name == "answer":
+            sp.add_argument("--question", action="append", default=[],
+                            help="question text (repeatable; alternative to --predict-file)")
             sp.add_argument("--stdin", action="store_true",
                             help="serve a question per stdin line (text or "
                                  "{\"question\": ...} json), model kept warm")
+        if name == "serve":
+            sp.add_argument("--host", default="127.0.0.1")
+            sp.add_argument("--port", type=int, default=8080)
+            sp.add_argument("--warmup", default="",
+                            help="question used to pay jit compiles before "
+                                 "accepting traffic")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("convert-hf")

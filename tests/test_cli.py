@@ -378,6 +378,82 @@ def test_cli_answer_stdin_serving(world, capsys, monkeypatch):
     assert all("answer" in r and "candidates" in r for r in rows)
 
 
+def test_cli_serve_http(world):
+    """The HTTP serving layer: GET/POST /answer against a warm model, batch
+    POST, input validation, /healthz — over a real localhost socket."""
+    import threading
+    import urllib.request
+
+    from proqa_tpu.cli.main import _qa_setup, build_parser
+    from proqa_tpu.serving import make_qa_server
+
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("index pipeline test must run first")
+    args = build_parser().parse_args([
+        "serve", *_common(world),
+        "--db", str(world / "docs.db"),
+        "--index", str(world / "index"),
+        "--retriever-path", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+        "--train-batch-size", "2",
+        "--candidates", "8",
+        "--eval-k", "2",
+        "--output-dir", str(world / "qa_http"),
+        "--topn", "2",
+    ])
+    trainer, make_sampler = _qa_setup(args)
+    server = make_qa_server(trainer, make_sampler, port=0, topn=2)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{host}:{port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"{base}{path}") as r:
+                return r.status, json.loads(r.read())
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"{base}{path}", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        assert get("/healthz") == (200, {"status": "ok"})
+
+        status, row = get("/answer?q=what+is+about+tok3")
+        assert status == 200
+        assert row["question"] == "what is about tok3"
+        assert {"answer", "candidates"} <= set(row)
+        assert 1 <= len(row["candidates"]) <= 2
+
+        status, row = post("/answer", {"question": "what is about tok5", "topn": 1})
+        assert status == 200 and len(row["candidates"]) == 1
+
+        status, rows = post(
+            "/answer", {"questions": ["what is about tok1", "what is about tok2"]}
+        )
+        assert status == 200 and [r["question"] for r in rows] == [
+            "what is about tok1", "what is about tok2",
+        ]
+
+        assert post("/answer", {})[0] == 400
+        assert post("/answer", {"questions": ["", "x"]})[0] == 400
+        status = err = None
+        try:
+            get("/nope")
+        except urllib.error.HTTPError as e:
+            status, err = e.code, json.loads(e.read())
+        assert status == 404 and "no route" in err["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=5)
+
+
 def test_cli_build_db(world, capsys, tmp_path):
     main(["build-db", "--corpus", str(world / "corpus.jsonl"),
           "--db", str(tmp_path / "built.db")])
