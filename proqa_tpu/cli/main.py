@@ -96,6 +96,22 @@ def _save_params(path: str, params):
     save_checkpoint(path, params)
 
 
+def _index_mesh(args):
+    """Mesh for --shard-index: shard the corpus embedding matrix over all
+    local devices (ICI at scale); None keeps the single-device layout."""
+    if not getattr(args, "shard_index", False):
+        return None
+    from proqa_tpu.parallel import make_mesh
+
+    return make_mesh()
+
+
+def _shard_index_arg(p):
+    p.add_argument("--shard-index", action="store_true",
+                   help="shard the index rows over all local devices "
+                        "(cross-chip top-k merge over ICI)")
+
+
 def _add_common(p):
     p.add_argument("--vocab", required=True, help="wordpiece vocab file")
     p.add_argument("--cased", action="store_true")
@@ -231,7 +247,8 @@ def cmd_eval_retrieval(args):
     import jax.numpy as jnp
 
     index = DenseIndex.load(
-        args.index, dtype=jnp.float32 if args.f32 else jnp.bfloat16
+        args.index, dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        mesh=_index_mesh(args),
     )
     db = DocDB(args.db)
     if args.query_embed.endswith(".npy"):
@@ -280,7 +297,8 @@ def cmd_retrieve(args):
         args.init_checkpoint, init_retriever_params(jax.random.PRNGKey(0), cfg)
     )
     index = DenseIndex.load(
-        args.index, dtype=jnp.float32 if args.f32 else jnp.bfloat16
+        args.index, dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        mesh=_index_mesh(args),
     )
     db = DocDB(args.db) if args.db else None
 
@@ -406,7 +424,7 @@ def _qa_setup(args):
     trainer = QATrainer(cfg, qcfg, tcfg, params=params)
 
     db = DocDB(args.db)
-    index = DenseIndex.load(args.index)
+    index = DenseIndex.load(args.index, mesh=_index_mesh(args))
     if args.use_ivf:
         # reference online-QA retrieval config (IVF nlist=100, nprobe=20)
         index = index.to_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
@@ -620,6 +638,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-query-length", type=int, default=30)
     sp.add_argument("--f32", action="store_true",
                     help="float32 index scoring (parity runs)")
+    _shard_index_arg(sp)
     sp.set_defaults(fn=cmd_eval_retrieval)
 
     sp = sub.add_parser("retrieve", help="one-shot question -> top-k paragraphs")
@@ -629,6 +648,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--init-checkpoint", required=True)
     sp.add_argument("--db", default="", help="sqlite doc store (adds text previews)")
     sp.add_argument("--topk", type=int, default=5)
+    _shard_index_arg(sp)
     sp.set_defaults(fn=cmd_retrieve)
 
     sp = sub.add_parser("cluster-corpus")
@@ -713,6 +733,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="IVF coarse-quantized online retrieval (reference default)")
         sp.add_argument("--ivf-nlist", type=int, default=100)
         sp.add_argument("--ivf-nprobe", type=int, default=20)
+        _shard_index_arg(sp)
         sp.add_argument("--save-pred", default="", help="write best-alpha predictions jsonl")
         sp.add_argument("--save-all", default="", metavar="PREFIX",
                         help="dump all candidate predictions + ground truths + "

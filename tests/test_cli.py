@@ -479,6 +479,68 @@ def test_cli_eval_retrieval_on_the_fly(world, capsys):
     assert set(recalls) == {"recall@5", "recall@10"}
 
 
+def test_cli_shard_index_matches_unsharded(world, capsys):
+    """--shard-index (corpus rows sharded over the 8 virtual devices with a
+    cross-chip top-k merge) must reproduce the single-device results exactly,
+    through both the recall CLI and the one-shot retrieve CLI."""
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("pipeline test must run first")
+
+    def eval_retrieval(extra):
+        main([
+            "eval-retrieval", str(world / "qa.jsonl"), str(world / "index"),
+            str(world / "qa.jsonl"), str(world / "docs.db"), "--topk", "10",
+            "--vocab", str(world / "vocab.txt"), "--tiny",
+            "--max-query-length", "12",
+            "--init-checkpoint", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+            *extra,
+        ])
+        out = capsys.readouterr().out
+        return json.loads([l for l in out.strip().splitlines() if l.startswith("{")][-1])
+
+    assert eval_retrieval(["--shard-index"]) == eval_retrieval([])
+
+    def retrieve(extra):
+        main([
+            "retrieve", *_common(world),
+            "--question", "what is about tok7",
+            "--index", str(world / "index"),
+            "--init-checkpoint", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+            "--db", str(world / "docs.db"), "--topk", "4", *extra,
+        ])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert retrieve(["--shard-index"]) == retrieve([])
+
+
+def test_cli_answer_shard_index(world, capsys):
+    """The QA serving path on a sharded index: `proqa answer --shard-index`
+    returns the same answers as the unsharded run (fused or fallback path)."""
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("index pipeline test must run first")
+
+    def answer(extra, outdir):
+        main([
+            "answer", *_common(world),
+            "--db", str(world / "docs.db"),
+            "--index", str(world / "index"),
+            "--retriever-path", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+            "--train-batch-size", "2",
+            "--candidates", "8",
+            "--eval-k", "2",
+            "--output-dir", str(world / outdir),
+            "--question", "what is about tok8",
+            "--topn", "2", *extra,
+        ])
+        lines = [l for l in capsys.readouterr().out.strip().splitlines()
+                 if l.startswith("{")]
+        return json.loads(lines[-1])
+
+    sharded = answer(["--shard-index"], "qa_shard")
+    plain = answer([], "qa_noshard")
+    assert sharded == plain
+
+
 def test_cli_convert_trec_and_msmarco(tmp_path, capsys):
     (tmp_path / "collection.tsv").write_text("0\tpassage a\n1\tpassage b\n")
     (tmp_path / "queries.tsv").write_text("5\thello?\n")
