@@ -448,6 +448,8 @@ def _qa_setup(args):
 
 def cmd_finetune_qa(args):
     trainer, make_sampler = _qa_setup(args)
+    if args.resume:
+        trainer.resume(args.resume)
     train_sampler = make_sampler(args.train_file, args.matched_para_path)
     eval_sampler = make_sampler(args.predict_file)
     best = trainer.train(train_sampler, eval_sampler)
@@ -749,6 +751,10 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--stdin", action="store_true",
                             help="serve a question per stdin line (text or "
                                  "{\"question\": ...} json), model kept warm")
+        if name == "finetune-qa":
+            sp.add_argument("--resume", default="",
+                            help="full-state checkpoint (e.g. checkpoint_last"
+                                 ".msgpack) to continue training from")
         if name == "serve":
             sp.add_argument("--host", default="127.0.0.1")
             sp.add_argument("--port", type=int, default=8080)

@@ -595,6 +595,10 @@ class QATrainer:
             self.logger.info(
                 f"Failed retrieval: {train_sampler.failed_retrieval}/{len(train_sampler)}"
             )
+            # full-state epoch checkpoint: supersedes the reference's late
+            # per-epoch dumps (train_retrieve_qa.py:257-260) and — unlike any
+            # reference checkpoint — is resumable (step + optimizer moments)
+            self.save("checkpoint_last")
             em = self.predict(eval_sampler)
             self.metrics.scalar("dev_em", em * 100, int(self.state.step))
             if em > best_em:

@@ -248,6 +248,20 @@ def test_qa_train_prefetched_end_to_end(world, scfg, tmp_path):
     assert 0.0 <= em <= 1.0
     assert int(trainer.state.step) >= 2
 
+    # epoch-end full-state checkpoint exists and resume restores the step +
+    # nonzero optimizer moments (true resume, unlike the reference's
+    # params-only dumps)
+    import os
+
+    last = os.path.join(trainer.tcfg.output_dir, "checkpoint_last.msgpack")
+    assert os.path.exists(last)
+    t2 = _make_trainer(world, tmp_path, "prefetch_resume", prefetch_batches=2)
+    t2.resume(last)
+    assert int(t2.state.step) == int(trainer.state.step)
+    mus = [np.asarray(x) for x in jax.tree.leaves(t2.state.opt_state)
+           if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0]
+    assert any(np.abs(m).sum() > 0 for m in mus)
+
 
 def test_query_encoder_tracks_live_params(world, scfg, tmp_path):
     """Retrieval must follow training: the encoder closure reads the CURRENT
