@@ -96,6 +96,25 @@ def _save_params(path: str, params):
     save_checkpoint(path, params)
 
 
+def _dp_encode_mesh(args):
+    """Mesh + adjusted batch size for --dp-encode: shard encode batches over
+    all local devices (the index-build throughput axis on a v5e-8). The
+    batch size is rounded up to a device multiple so pjit shards evenly."""
+    if not getattr(args, "dp_encode", False):
+        return None, args.predict_batch_size
+    import jax
+
+    from proqa_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    bsz = -(-args.predict_batch_size // n_dev) * n_dev
+    if bsz != args.predict_batch_size:
+        print(f"predict-batch-size {args.predict_batch_size} -> {bsz} "
+              f"(multiple of {n_dev} devices)")
+    return mesh, bsz
+
+
 def _index_mesh(args):
     """Mesh for --shard-index: shard the corpus embedding matrix over all
     local devices (ICI at scale); None keeps the single-device layout."""
@@ -211,11 +230,12 @@ def cmd_build_index(args):
     tok = _tokenizer(args)
     template = init_retriever_params(jax.random.PRNGKey(0), cfg)
     params = _load_params(args.init_checkpoint, template)
+    mesh, batch_size = _dp_encode_mesh(args)
     index = build_index(
         params, cfg, args.corpus,
         tokenizer=tok, max_length=args.max_seq_length,
-        batch_size=args.predict_batch_size, save_path=args.output_dir,
-        dtype=cfg.dtype, stream_chunk=args.stream_chunk,
+        batch_size=batch_size, save_path=args.output_dir,
+        dtype=cfg.dtype, stream_chunk=args.stream_chunk, mesh=mesh,
     )
     print(json.dumps({"rows": len(index), "dim": index.dim, "saved": args.output_dir}))
 
@@ -232,7 +252,8 @@ def cmd_encode_queries(args):
     template = init_retriever_params(jax.random.PRNGKey(0), cfg)
     params = _load_params(args.init_checkpoint, template)
     ds = EncodeDataset(tok, args.queries, max_query_length=args.max_query_length, is_query=True)
-    emb = encode_corpus(params, cfg, ds, batch_size=args.predict_batch_size, is_query=True)
+    mesh, batch_size = _dp_encode_mesh(args)
+    emb = encode_corpus(params, cfg, ds, batch_size=batch_size, is_query=True, mesh=mesh)
     np.save(args.output, emb)
     print(json.dumps({"queries": int(emb.shape[0]), "saved": args.output}))
 
@@ -615,6 +636,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stream-chunk", type=int, default=0,
                     help="rows per streaming chunk: bounded-RAM build writing "
                          "embeddings.npy incrementally (0 = in-memory build)")
+    sp.add_argument("--dp-encode", action="store_true",
+                    help="shard encode batches over all local devices")
     sp.set_defaults(fn=cmd_build_index)
 
     sp = sub.add_parser("encode-queries")
@@ -623,6 +646,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--init-checkpoint", required=True)
     sp.add_argument("--output", required=True, help=".npy path")
     sp.add_argument("--predict-batch-size", type=int, default=512)
+    sp.add_argument("--dp-encode", action="store_true",
+                    help="shard encode batches over all local devices")
     sp.set_defaults(fn=cmd_encode_queries)
 
     sp = sub.add_parser("eval-retrieval")

@@ -513,6 +513,27 @@ def test_cli_shard_index_matches_unsharded(world, capsys):
     assert retrieve(["--shard-index"]) == retrieve([])
 
 
+def test_cli_build_index_dp_encode(world, capsys):
+    """--dp-encode (encode batches sharded over the 8 virtual devices) must
+    reproduce the single-device index, and rounds the batch size up to a
+    device multiple."""
+    if not os.path.exists(world / "index" / "embeddings.npy"):
+        pytest.skip("pipeline test must run first")
+    main([
+        "build-index", *_common(world),
+        "--corpus", str(world / "corpus.jsonl"),
+        "--init-checkpoint", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+        "--output-dir", str(world / "index_dp"),
+        "--predict-batch-size", "9",  # not a device multiple: must round to 16
+        "--dp-encode",
+    ])
+    out = capsys.readouterr().out
+    assert "9 -> 16" in out
+    got = np.load(world / "index_dp" / "embeddings.npy")
+    want = np.load(world / "index" / "embeddings.npy")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_cli_answer_shard_index(world, capsys):
     """The QA serving path on a sharded index: `proqa answer --shard-index`
     returns the same answers as the unsharded run (fused or fallback path)."""
