@@ -508,7 +508,16 @@ def cmd_answer(args):
             line = line.strip()
             if not line:
                 continue
-            q = json.loads(line)["question"] if line.startswith("{") else line
+            try:
+                q = json.loads(line)["question"] if line.startswith("{") else line
+                if not isinstance(q, str) or not q.strip():
+                    raise ValueError("question must be a non-empty string")
+            except (ValueError, KeyError) as e:
+                # one bad producer line must not kill the warm loop (it would
+                # forfeit the ~30s jax init + compiles the loop amortizes)
+                print(json.dumps({"error": f"{type(e).__name__}: {e}",
+                                  "input": line[:200]}), flush=True)
+                continue
             sampler = make_sampler([{"question": q}])
             for row in trainer.answer(sampler, alpha=args.alpha, topn=args.topn):
                 print(json.dumps(row, ensure_ascii=False), flush=True)

@@ -144,8 +144,9 @@ class OnlineSampler:
         mask = (ids != 0).astype(np.int32)
         nq = ids.shape[0]
         # pad the ragged LAST group all the way to the standard group size
-        # (pad_rows): a smaller shape would trigger a fresh multi-minute
-        # remote compile for a once-per-epoch group
+        # (pad_rows, uncapped): any smaller shape would trigger a fresh
+        # multi-minute remote compile for a once-per-epoch group — the wasted
+        # encode rows are orders of magnitude cheaper than one extra compile
         bpad = pad_rows or min(c.question_batch, 256)
         npad = (-nq) % bpad
         if npad:
@@ -326,8 +327,7 @@ class OnlineSampler:
             group = self.qa_data[group_start : group_start + R]
             questions = [qa["question"] for qa in group]
             q_ids, rows, _ = self._retrieve(
-                questions, query_encoder, gather_embeds=False,
-                pad_rows=min(R, 256),
+                questions, query_encoder, gather_embeds=False, pad_rows=R,
             )
             work = [(qa, qi, rr, None) for qa, qi, rr in zip(group, q_ids, rows)]
             if self.cfg.num_workers > 0:
@@ -358,7 +358,7 @@ class OnlineSampler:
             group = self.qa_data[group_start : group_start + B]
             questions = [qa["question"] for qa in group]
             q_ids, rows, para_embeds = self._retrieve(
-                questions, query_encoder, candidates=k, pad_rows=min(B, 256)
+                questions, query_encoder, candidates=k, pad_rows=B
             )
             examples = []
             for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):

@@ -67,6 +67,8 @@ def make_qa_server(
                 qs = parse_qs(url.query)
                 if "q" not in qs:
                     return self._send(400, {"error": "missing query param 'q'"})
+                if not all(q.strip() for q in qs["q"]):
+                    return self._send(400, {"error": "questions must be non-empty"})
                 try:
                     rows = _answer(qs["q"], alpha, topn)
                 except Exception as e:  # pragma: no cover - defensive
@@ -83,6 +85,8 @@ def make_qa_server(
                 req = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._send(400, {"error": f"bad json: {e}"})
+            if not isinstance(req, dict):
+                return self._send(400, {"error": "body must be a json object"})
             if "question" in req:
                 questions, single = [req["question"]], True
             elif "questions" in req and isinstance(req["questions"], list):
@@ -93,8 +97,11 @@ def make_qa_server(
                 )
             if not all(isinstance(q, str) and q.strip() for q in questions):
                 return self._send(400, {"error": "questions must be non-empty strings"})
-            a = float(req.get("alpha", alpha))
-            n = int(req.get("topn", topn))
+            try:
+                a = float(req.get("alpha", alpha))
+                n = int(req.get("topn", topn))
+            except (TypeError, ValueError) as e:
+                return self._send(400, {"error": f"bad alpha/topn: {e}"})
             try:
                 rows = _answer(questions, a, n)
             except Exception as e:  # pragma: no cover - defensive

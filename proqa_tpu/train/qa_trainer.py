@@ -102,6 +102,7 @@ class QATrainer:
         )
         self.logger = setup_logger("proqa.qa", f"{tcfg.output_dir}/log.txt")
         self.metrics = MetricLogger(f"{tcfg.output_dir}/metrics.jsonl")
+        self._resume_meta: dict = {}  # loop progress restored by resume()
         if tcfg.fast_prng:
             jax.config.update("jax_default_prng_impl", "rbg")
         self.rng = jax.random.PRNGKey(tcfg.seed)
@@ -404,8 +405,26 @@ class QATrainer:
     def save(self, name: str):
         ckpt.save_checkpoint(f"{self.tcfg.output_dir}/{name}.msgpack", self.state)
 
+    def _write_meta(self, best_em: float, wait: int, epoch: int) -> None:
+        """Loop-progress sidecar next to the checkpoints: without it a resume
+        restores step/params/optimizer but restarts best_em at 0 — the first
+        post-resume eval would overwrite best-model with a worse checkpoint,
+        and wait_step early stopping would restart from scratch."""
+        import os
+
+        with open(os.path.join(self.tcfg.output_dir, "trainer_meta.json"), "w") as f:
+            json.dump({"best_em": best_em, "wait": wait, "epoch": epoch}, f)
+
     def resume(self, path: str):
+        import os
+
         self.state = ckpt.load_checkpoint(path, self.state)
+        meta_path = os.path.join(os.path.dirname(path) or ".", "trainer_meta.json")
+        self._resume_meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self._resume_meta = json.load(f)
+            self.logger.info(f"resumed loop progress: {self._resume_meta}")
 
     def _device_batch(self, net: dict):
         return {k: jnp.asarray(v) for k, v in net.items()}
@@ -552,11 +571,14 @@ class QATrainer:
         t = self.tcfg
         if getattr(train_sampler, "index", None) is not None:
             self.set_corpus(train_sampler.index)
-        best_em, wait, stop = 0.0, 0, False
+        best_em = float(self._resume_meta.get("best_em", 0.0))
+        wait = int(self._resume_meta.get("wait", 0))
+        start_epoch = int(self._resume_meta.get("epoch", 0))
+        stop = False
         meter = AverageMeter()
         timer = StepTimer()
         tracer = TraceWindow(t.profile_dir, steps=t.profile_steps, logger=self.logger)
-        for epoch in range(t.num_train_epochs):
+        for epoch in range(start_epoch, t.num_train_epochs):
             train_sampler.shuffle(seed=t.seed + epoch)
             for batch in self._prefetched(train_sampler.load(
                 self.query_encoder(), t.train_k, t.questions_per_batch
@@ -591,6 +613,7 @@ class QATrainer:
                         if wait == t.wait_step:
                             stop = True
                             break
+                    self._write_meta(best_em, wait, epoch)
 
             self.logger.info(
                 f"Failed retrieval: {train_sampler.failed_retrieval}/{len(train_sampler)}"
@@ -612,6 +635,7 @@ class QATrainer:
                 wait += 1
                 if wait >= t.wait_step:
                     stop = True
+            self._write_meta(best_em, wait, epoch + 1)
             if stop:
                 break
         tracer.close()

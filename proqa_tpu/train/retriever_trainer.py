@@ -176,9 +176,31 @@ class RetrieverTrainer:
     def save(self, name: str):
         ckpt.save_checkpoint(f"{self.tcfg.output_dir}/{name}.msgpack", self.state)
 
+    def _write_meta(self, best_acc: float, wait: int, epoch: int) -> None:
+        """Loop-progress sidecar (best_acc/wait/epoch) so resume() continues
+        the best-checkpoint race and early stopping instead of restarting
+        them at zero (which could overwrite checkpoint_best with a worse
+        post-resume model)."""
+        import json as _json
+        import os
+
+        with open(os.path.join(self.tcfg.output_dir, "trainer_meta.json"), "w") as f:
+            _json.dump({"best_acc": best_acc, "wait": wait, "epoch": epoch}, f)
+
     def resume(self, path: str):
+        import json as _json
+        import os
+
         self.state = ckpt.load_checkpoint(path, self.state)
-        self.logger.info(f"resumed from {path} at step {int(self.state.step)}")
+        meta_path = os.path.join(os.path.dirname(path) or ".", "trainer_meta.json")
+        self._resume_meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self._resume_meta = _json.load(f)
+        self.logger.info(
+            f"resumed from {path} at step {int(self.state.step)}"
+            + (f" with loop progress {self._resume_meta}" if self._resume_meta else "")
+        )
 
     # ------------- loops -------------
 
@@ -200,11 +222,15 @@ class RetrieverTrainer:
         """train_batches_fn(epoch) -> iterator of collated batches;
         eval_batches_fn() -> iterator. Returns best eval accuracy."""
         t = self.tcfg
-        best_acc, wait, stop = 0.0, 0, False
+        meta = getattr(self, "_resume_meta", {})
+        best_acc = float(meta.get("best_acc", 0.0))
+        wait = int(meta.get("wait", 0))
+        start_epoch = int(meta.get("epoch", 0))
+        stop = False
         meter = AverageMeter()
         timer = StepTimer()
         tracer = TraceWindow(t.profile_dir, steps=t.profile_steps, logger=self.logger)
-        for epoch in range(t.num_train_epochs):
+        for epoch in range(start_epoch, t.num_train_epochs):
             for batch in train_batches_fn(epoch):
                 tracer.tick()
                 batch.pop("__rows__", None)
@@ -241,6 +267,7 @@ class RetrieverTrainer:
                         if wait == t.wait_step:
                             stop = True
                             break
+                    self._write_meta(best_acc, wait, epoch)
             if stop:
                 break
         tracer.close()

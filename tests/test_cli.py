@@ -356,6 +356,8 @@ def test_cli_answer_stdin_serving(world, capsys, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO(
         "what is about tok4\n"
         "\n"  # blank lines are skipped
+        "{not json\n"  # malformed json -> error row, loop continues
+        + json.dumps({"q": "missing question key"}) + "\n"
         + json.dumps({"question": "what is about tok6"}) + "\n"
     ))
     main([
@@ -372,10 +374,14 @@ def test_cli_answer_stdin_serving(world, capsys, monkeypatch):
     lines = [l for l in capsys.readouterr().out.strip().splitlines()
              if l.startswith("{")]
     rows = [json.loads(l) for l in lines]
-    assert [r["question"] for r in rows] == [
+    answered = [r for r in rows if "question" in r]
+    errors = [r for r in rows if "error" in r]
+    assert [r["question"] for r in answered] == [
         "what is about tok4", "what is about tok6",
     ]
-    assert all("answer" in r and "candidates" in r for r in rows)
+    assert all("answer" in r and "candidates" in r for r in answered)
+    # bad producer lines yield error rows instead of killing the warm loop
+    assert len(errors) == 2 and all("input" in e for e in errors)
 
 
 def test_cli_serve_http(world):
@@ -442,6 +448,17 @@ def test_cli_serve_http(world):
 
         assert post("/answer", {})[0] == 400
         assert post("/answer", {"questions": ["", "x"]})[0] == 400
+        # malformed option values and non-object bodies get structured 400s,
+        # never a dropped connection
+        assert post("/answer", {"question": "x", "alpha": "high"})[0] == 400
+        assert post("/answer", {"question": "x", "topn": None})[0] == 400
+        assert post("/answer", 3)[0] == 400
+        # GET validates emptiness like POST does
+        try:
+            get("/answer?q=%20")
+            assert False, "blank GET question must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         status = err = None
         try:
             get("/nope")

@@ -261,6 +261,10 @@ def test_qa_train_prefetched_end_to_end(world, scfg, tmp_path):
     mus = [np.asarray(x) for x in jax.tree.leaves(t2.state.opt_state)
            if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0]
     assert any(np.abs(m).sum() > 0 for m in mus)
+    # loop progress restored too: best_em must survive resume so the first
+    # post-resume eval can't overwrite best-model with a worse checkpoint
+    assert t2._resume_meta.get("best_em") == em
+    assert t2._resume_meta.get("epoch") == trainer.tcfg.num_train_epochs
 
 
 def test_query_encoder_tracks_live_params(world, scfg, tmp_path):

@@ -178,10 +178,13 @@ def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
     ]
     assert trace_files, "profile_dir produced no trace artifacts"
 
-    # resume restores step
+    # resume restores step AND loop progress (best_acc/wait/epoch sidecar),
+    # so a resumed run can't overwrite checkpoint_best with a worse model
     trainer2 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
     trainer2.resume(str(tmp_path / "run" / "checkpoint_last.msgpack"))
     assert int(trainer2.state.step) == 12
+    assert trainer2._resume_meta.get("best_acc") == best
+    assert "wait" in trainer2._resume_meta
 
 
 def test_resume_continues_training(tmp_path, cfg):

@@ -22,13 +22,22 @@ def main():
 
     N, D, Q, K = 33_554_432, 128, 2048, 80
     rng = np.random.default_rng(0)
-    parts = []
-    for i in range(16):  # slice the host->device build to bound host RAM
-        parts.append(jax.device_put(jnp.asarray(
-            rng.standard_normal((N // 16, D)).astype(np.float32), jnp.bfloat16
-        )))
-    corpus = jnp.concatenate(parts)
-    del parts
+    # Assemble by donated in-place slice updates into ONE preallocated
+    # [N, D] buffer: a jnp.concatenate of 16 live parts would need
+    # parts (8.6 GiB) + output (8.6 GiB) simultaneously — over the v5e's
+    # 16 GiB HBM. Donation keeps peak at buffer + one 0.54 GiB part.
+    place = jax.jit(  # traced start index: ONE compile for all 16 slices
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    corpus = jnp.zeros((N, D), jnp.bfloat16)
+    chunk = N // 16  # slice the host->device build to bound host RAM too
+    for i in range(16):
+        part = jnp.asarray(
+            rng.standard_normal((chunk, D)).astype(np.float32), jnp.bfloat16
+        )
+        corpus = place(corpus, part, jnp.int32(i * chunk))
+        del part
     queries = jax.device_put(jnp.asarray(
         rng.standard_normal((Q, D)).astype(np.float32), jnp.bfloat16
     ))
