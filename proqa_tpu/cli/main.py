@@ -415,6 +415,7 @@ def _qa_setup(args):
         train_k=args.train_batch_size,
         questions_per_batch=args.questions_per_batch,
         fix_para_encoder=args.fix_para_encoder,
+        freeze_retriever=args.fix_retriever,
         regex=args.regex,
         seed=args.seed,
         output_dir=args.output_dir,
@@ -763,6 +764,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--drop-early", action="store_true")
         sp.add_argument("--qa-drop", type=float, default=0.0)
         sp.add_argument("--fix-para-encoder", action="store_true")
+        sp.add_argument("--fix-retriever", action="store_true",
+                        help="freeze the whole retriever submodule (reference "
+                             "--fix-retriever/freeze_retriever, which its "
+                             "entry point never actually wires up)")
         sp.add_argument("--regex", action="store_true")
         sp.add_argument("--approx-search", action="store_true")
         sp.add_argument("--use-ivf", action="store_true",
