@@ -1,0 +1,76 @@
+"""Focused full-pipeline retune around the round-3 optimum
+(block=16, group=128, tile_q=2048, sub_chunks=4 -> ~32 ms amortized).
+
+Untried axes: sub_chunks=8 (deeper dot/reduce interleave), group 64/256
+(select width vs kernel tile), block=8 (halves the rescore gather again;
+bmax3 = N/8 * Qpad * 4 B = 4.3 GiB at 4.2M — fits next to the 1 GiB
+corpus on a 16 GiB v5e). Each config is one fresh remote compile
+(minutes) — keep the grid tight.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/mips_retune_r3b.py
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N, D, Q, K = 4_194_304, 128, 2048, 80
+
+GRID = [
+    (16, 128, 2048, 4),   # current production config (control)
+    (16, 128, 2048, 8),
+    (16, 64, 2048, 4),
+    (16, 256, 2048, 4),
+    (8, 128, 2048, 4),
+    (32, 128, 2048, 4),
+]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from proqa_tpu.ops.mips import mips_topk_reference
+    from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
+
+    rng = np.random.default_rng(0)
+    xb = rng.standard_normal((N, D), dtype=np.float32)
+    corpus = jax.device_put(jnp.asarray(xb, jnp.bfloat16))
+    del xb
+    queries = jax.device_put(jnp.asarray(
+        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
+    ))
+
+    _, want = mips_topk_reference(queries[:16], corpus, K)
+    want = np.asarray(want)
+
+    res = {}
+    for blk, grp, tq, sub in GRID:
+        name = f"b{blk}_g{grp}_t{tq}_s{sub}"
+        try:
+            fn = lambda: mips_topk_pallas_v2(
+                queries, corpus, K, block=blk, group=grp, tile_q=tq, sub_chunks=sub
+            )
+            vals, idx = fn()
+            np.asarray(idx.reshape(-1)[:1])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                vals, idx = fn()
+            np.asarray(idx.reshape(-1)[:1])
+            idx.block_until_ready()
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            got = np.asarray(idx[:16])
+            rec = float(np.mean([len(set(got[i]) & set(want[i])) / K
+                                 for i in range(16)]))
+            res[name] = {"ms": round(ms, 2), "recall": round(rec, 4)}
+        except Exception as e:
+            res[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(name, res[name], flush=True)
+
+    print("FINAL", json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
