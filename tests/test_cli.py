@@ -550,6 +550,22 @@ def test_cli_build_index_dp_encode(world, capsys):
     want = np.load(world / "index" / "embeddings.npy")
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    # the bounded-RAM streaming build shards over the mesh too
+    main([
+        "build-index", *_common(world),
+        "--corpus", str(world / "corpus.jsonl"),
+        "--init-checkpoint", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+        "--output-dir", str(world / "index_dp_stream"),
+        "--predict-batch-size", "16",
+        "--stream-chunk", "13",  # deliberately ragged chunk boundary
+        "--dp-encode",
+    ])
+    capsys.readouterr()
+    got = np.load(world / "index_dp_stream" / "embeddings.npy")
+    # the streaming writer stores raw f32 encodes while the in-memory path
+    # saves through the bf16 device index — compare at bf16 quantization
+    np.testing.assert_allclose(got, want, rtol=8e-3, atol=1e-4)
+
 
 def test_cli_answer_shard_index(world, capsys):
     """The QA serving path on a sharded index: `proqa answer --shard-index`
