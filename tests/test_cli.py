@@ -300,6 +300,34 @@ def test_cli_qa_eval_and_finetune(world, capsys):
     assert "best_em" in out
 
 
+def test_cli_finetune_qa_shard_index(world, capsys):
+    """finetune-qa over a row-sharded corpus: the rank-head para_rows gather
+    runs inside the jitted train step against the MESH-SHARDED embedding
+    matrix (DP batch x sharded corpus in one program)."""
+    if not os.path.exists(world / "qa_matched.jsonl"):
+        pytest.skip("finetune test must run first")
+    main([
+        "finetune-qa", *_common(world),
+        "--predict-file", str(world / "qa.jsonl"),
+        "--db", str(world / "docs.db"),
+        "--index", str(world / "index"),
+        "--retriever-path", str(world / "retriever_run" / "checkpoint_last.msgpack"),
+        "--train-batch-size", "2",
+        "--questions-per-batch", "8",
+        "--candidates", "8",
+        "--eval-k", "2",
+        "--output-dir", str(world / "qa_run_shard"),
+        "--train-file", str(world / "qa.jsonl"),
+        "--matched-para-path", str(world / "qa_matched.jsonl"),
+        "--num-train-epochs", "1",
+        "--learning-rate", "1e-4",
+        "--shared-norm", "--fix-para-encoder",
+        "--shard-index",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best_em" in out and 0.0 <= out["best_em"] <= 1.0
+
+
 def test_cli_answer(world, capsys):
     """`proqa answer`: the inference-only serving path — questions in (no
     gold labels), one JSON line per question with the extracted span and
