@@ -38,6 +38,19 @@ def _encode_jit(params, ids, mask, *, cfg: BertConfig, is_query: bool):
     return encode(params, cfg, ids, mask)
 
 
+@functools.lru_cache(maxsize=None)
+def _encode_jit_mesh(cfg: BertConfig, is_query: bool, mesh):
+    """Cached mesh-sharded variant: same retracing trap as _encode_jit —
+    a per-call jax.jit over a fresh lambda recompiles every bucket width on
+    every encode_corpus/encode_corpus_streaming invocation (multi-minute
+    remote compiles through the tunnel)."""
+    encode = encode_query if is_query else encode_context
+    fn = lambda p, ids, mask: encode(p, cfg, ids, mask)
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fn, in_shardings=(replicated, sharded, sharded), out_shardings=sharded)
+
+
 def encode_corpus(
     params,
     cfg: BertConfig,
@@ -58,11 +71,7 @@ def encode_corpus(
     written back in original row order.
     """
     if mesh is not None:
-        encode = encode_query if is_query else encode_context
-        fn = lambda p, ids, mask: encode(p, cfg, ids, mask)
-        replicated = NamedSharding(mesh, P())
-        sharded = NamedSharding(mesh, P(DATA_AXIS))
-        jfn = jax.jit(fn, in_shardings=(replicated, sharded, sharded), out_shardings=sharded)
+        jfn = _encode_jit_mesh(cfg, is_query, mesh)
     else:
         jfn = functools.partial(_encode_jit, cfg=cfg, is_query=is_query)
 
@@ -153,14 +162,10 @@ def encode_corpus_streaming(
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.float32, shape=(n, dim))
 
-    encode = encode_context
-    fn = lambda p, ids, mask: encode(p, cfg, ids, mask)
     if mesh is not None:
-        replicated = NamedSharding(mesh, P())
-        sharded = NamedSharding(mesh, P(DATA_AXIS))
-        jfn = jax.jit(fn, in_shardings=(replicated, sharded, sharded), out_shardings=sharded)
+        jfn = _encode_jit_mesh(cfg, False, mesh)
     else:
-        jfn = jax.jit(fn)
+        jfn = functools.partial(_encode_jit, cfg=cfg, is_query=False)
 
     if buckets is not None:
         buckets = tuple(b for b in buckets if b <= max_length)

@@ -18,7 +18,7 @@ import numpy as np
 
 from proqa_tpu.index.idmap import IdMap
 from proqa_tpu.ops.mips import mips_topk, pad_queries
-from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_rows
+from proqa_tpu.parallel.mesh import shard_rows
 from proqa_tpu.parallel.search import sharded_mips_topk
 
 
@@ -224,8 +224,12 @@ class IVFDenseIndex(DenseIndex):
         if exact:  # explicit exact request bypasses the quantizer
             return super().search(queries, k, exact=True, q_pad=q_pad, **kw)
         q = jnp.asarray(queries, dtype=self.embeddings.dtype)
+        # pad ragged query batches like the dense path: every distinct query
+        # count would otherwise compile a fresh _ivf_search shape (multi-
+        # minute remote compiles through the tunnel)
+        q, q_n = pad_queries(q, q_pad)
         vals, idx = self.ivf.search(q, min(k, self.n))
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = np.asarray(vals)[:q_n], np.asarray(idx)[:q_n]
         if vals.shape[1] < k:
             vals = np.pad(vals, ((0, 0), (0, k - vals.shape[1])), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, k - idx.shape[1])))

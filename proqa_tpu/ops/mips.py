@@ -29,8 +29,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-3.0e38)  # also finite in bf16
+# numpy scalar, NOT jnp: a module-level jnp constant allocates a device
+# buffer at import, forcing backend init before callers can pick a platform
+# (and hanging every import when the tunneled TPU is unreachable)
+NEG_INF = np.float32(-3.0e38)  # also finite in bf16
 
 
 def _precision(dtype) -> jax.lax.Precision:

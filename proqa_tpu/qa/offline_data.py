@@ -7,6 +7,14 @@ examples are pre-tokenized {q_subtoks, doc_subtoks, starts, ends, ...} rows,
 grouped by question; training batches hold one positive + (B-1) sampled
 negatives for a question; eval batches hold all its paragraphs. Collation
 emits the same static-shape [B, L] tensors the reader consumes.
+
+Scope note: like its reference counterpart (whose only consumer, qa/train.py,
+has broken imports — SURVEY.md §3.5), this is a DATA path, not a wired
+training path. Batches carry reader inputs + span targets but not the
+rank-head candidate inputs (para_embed/para_rows, top5000_labels) that
+`qa_forward`/`qa_loss` additionally require — those exist only in the online
+sampler, which is the framework's (and the reference's) actual QA training
+route.
 """
 from __future__ import annotations
 

@@ -183,7 +183,7 @@ class OnlineSampler:
     # per-question example construction (host side)
     # ------------------------------------------------------------------
 
-    def _build_train_example(self, qa: dict, q_token_ids: list[int], cand_rows, para_embed):
+    def _build_train_example(self, qa: dict, q_token_ids: list[int], cand_rows, para_embed, k: int):
         """Returns dict of per-question tensors, or None if retrieval failed
         (no gold in top-M and no span-covered paragraph in top-k)."""
         c = self.cfg
@@ -194,7 +194,6 @@ class OnlineSampler:
         top_labels = np.isin(
             np.asarray(cand_rows), gold_rows, assume_unique=False
         ).astype(np.int32)
-        k = self._k
         cand_ids = self.index.id_map.rows_to_ids(cand_rows[:k])
         per_para = []
         any_covered = False
@@ -274,9 +273,9 @@ class OnlineSampler:
     # batching
     # ------------------------------------------------------------------
 
-    def _collate_questions(self, examples: list[dict], with_targets: bool):
+    def _collate_questions(self, examples: list[dict], with_targets: bool, k: int):
         c = self.cfg
-        B, k, L = len(examples), self._k, c.max_length
+        B, L = len(examples), c.max_length
         def stack_para(field, pad_val=0, length=L, dtype=np.int32):
             return np.stack([
                 pad_to([pp[field] for pp in ex["per_para"]], length, pad_val, dtype)
@@ -318,7 +317,6 @@ class OnlineSampler:
         """Training batches: [B, k, L] reader inputs + rank targets.
         query_encoder(ids [n, Tq], mask) -> [n, D] (jitted closure over the
         CURRENT retriever params, so retrieval follows training)."""
-        self._k = k
         B = questions_per_batch or self.cfg.question_batch
         R = max(self.cfg.retrieval_batch, B)  # retrieval group (>= one batch)
         self.failed_retrieval = 0
@@ -329,7 +327,7 @@ class OnlineSampler:
             q_ids, rows, _ = self._retrieve(
                 questions, query_encoder, gather_embeds=False, pad_rows=R,
             )
-            work = [(qa, qi, rr, None) for qa, qi, rr in zip(group, q_ids, rows)]
+            work = [(qa, qi, rr, None, k) for qa, qi, rr in zip(group, q_ids, rows)]
             if self.cfg.num_workers > 0:
                 built = list(self._workers().map(
                     lambda w: self._build_train_example(*w), work
@@ -342,18 +340,19 @@ class OnlineSampler:
                     continue
                 buffer.append(ex)
                 if len(buffer) == B:
-                    yield self._collate_questions(buffer, with_targets=True)
+                    yield self._collate_questions(buffer, with_targets=True, k=k)
                     buffer = []
         if buffer:
-            yield self._collate_questions(buffer, with_targets=True)
+            yield self._collate_questions(buffer, with_targets=True, k=k)
 
     def eval_load(self, query_encoder: Callable, k: int = 5, questions_per_batch: int | None = None) -> Iterator[dict]:
         """Eval batches: top-k paragraphs per question, no targets, plus the
         offset maps needed to project predictions back to text."""
-        self._k = k
         B = questions_per_batch or self.cfg.question_batch
-        # candidates passed per-call (NOT via cfg mutation): eval_load is
-        # re-entrant with a concurrent train load over the same sampler cfg
+        # k and candidates flow per-call (NOT via cfg/instance mutation):
+        # eval_load is re-entrant with a concurrent train load over the same
+        # sampler (the prefetch thread keeps pulling train batches during
+        # predict), so no shared mutable state may leak between the two
         for group_start in range(0, len(self.qa_data), B):
             group = self.qa_data[group_start : group_start + B]
             questions = [qa["question"] for qa in group]
@@ -377,4 +376,4 @@ class OnlineSampler:
                     "para_embed": pe,
                     "q_token_ids": qi,
                 })
-            yield self._collate_questions(examples, with_targets=False)
+            yield self._collate_questions(examples, with_targets=False, k=k)

@@ -11,11 +11,10 @@ from __future__ import annotations
 
 import collections
 import dataclasses
-import functools
 import json
 import threading
 import weakref
-from typing import Callable, Iterator
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -544,7 +543,12 @@ class QATrainer:
             ems, rows = [], []
             for qid, preds in qid2results.items():
                 top = max(preds, key=lambda x: alpha * x.span_score + (1 - alpha) * x.rank_score)
-                em_i = metric_max_over_ground_truths(match_fn, top.text, qid2ground[qid])
+                # gold-less rows (serving-style inputs) score 0 instead of
+                # crashing max() over an empty ground-truth list
+                em_i = (
+                    metric_max_over_ground_truths(match_fn, top.text, qid2ground[qid])
+                    if qid2ground[qid] else 0.0
+                )
                 ems.append(em_i)
                 rows.append({
                     "question": top.question, "para": top.passage, "answer": top.text,
@@ -618,6 +622,10 @@ class QATrainer:
             self.logger.info(
                 f"Failed retrieval: {train_sampler.failed_retrieval}/{len(train_sampler)}"
             )
+            # NOTE: a mid-epoch early-stop break still reaches this epoch-end
+            # eval before terminating — deliberate reference parity
+            # (train_retrieve_qa.py:243-255 runs its epoch-end predict and can
+            # save best-model after stop_training is already set, then breaks)
             # full-state epoch checkpoint: supersedes the reference's late
             # per-epoch dumps (train_retrieve_qa.py:257-260) and — unlike any
             # reference checkpoint — is resumable (step + optimizer moments)

@@ -14,10 +14,7 @@ for TPU:
 """
 from __future__ import annotations
 
-import functools
-import time
-from dataclasses import dataclass, field
-from typing import Any, Iterator
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

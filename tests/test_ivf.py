@@ -73,6 +73,30 @@ def test_ivf_no_padding_indices(data):
     assert (np.asarray(i) >= 0).all() and (np.asarray(i) < len(pts)).all()
 
 
+def test_ivf_underfilled_k_never_leaks_padding(data):
+    """When the probed clusters + overflow hold FEWER than k real rows, the
+    tail must come back as (row 0, -inf score) — the DenseIndex degenerate
+    contract — never as -1 (Python -1 maps to the LAST doc in IdMap lookups
+    and jnp.take clips it to 0 in the on-device para_rows gather)."""
+    from proqa_tpu.ops.mips import NEG_INF
+
+    pts, queries = data
+    # 200 rows over 32 lists, probe only 2: ~2*cap+overflow real slots << k
+    index = build_ivf(pts[:200], nlist=32, nprobe=2, niter=5,
+                      capacity_factor=1.0, dtype=jnp.float32)
+    vals, idx = index.search(queries, 150)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx >= 0).all() and (idx < 200).all()
+    padding = vals <= float(NEG_INF)
+    assert padding.any(), "test setup: expected under-filled top-k"
+    assert (idx[padding] == 0).all()
+    # real results rank strictly ahead of padding slots
+    first_pad = padding.argmax(axis=1)
+    for r in range(len(queries)):
+        if padding[r].any():
+            assert padding[r, first_pad[r]:].all()
+
+
 def test_ivf_dense_index_adapter(data):
     """DenseIndex.to_ivf: online-sampler-compatible search API over the IVF
     structure, with exact bypass and embedding gathers intact."""
