@@ -359,12 +359,31 @@ def _bench_train_step() -> dict:
             "train_shape": f"{b}x({tq}q+{tc}c)"}
 
 
+def _wait_for_backend(tries: int = 8, delay_s: float = 45.0) -> None:
+    """The tunneled TPU backend has transient multi-minute outages; a bench
+    run that lands in one should wait it out, not crash with no JSON line."""
+    import jax
+
+    for i in range(tries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if i == tries - 1:
+                raise
+            print(f"# backend unavailable (try {i + 1}/{tries}): "
+                  f"{str(e)[:120]}", flush=True)
+            time.sleep(delay_s)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from proqa_tpu.ops.mips import mips_topk_reference
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
+
+    _wait_for_backend()
 
     rng = np.random.default_rng(0)
     # generate f32 directly: float64 gen + cast costs ~2x RAM and wall on

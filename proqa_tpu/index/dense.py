@@ -224,10 +224,16 @@ class IVFDenseIndex(DenseIndex):
         if exact:  # explicit exact request bypasses the quantizer
             return super().search(queries, k, exact=True, q_pad=q_pad, **kw)
         q = jnp.asarray(queries, dtype=self.embeddings.dtype)
-        # pad ragged query batches like the dense path: every distinct query
-        # count would otherwise compile a fresh _ivf_search shape (multi-
-        # minute remote compiles through the tunnel)
-        q, q_n = pad_queries(q, q_pad)
+        # pad ragged query batches so distinct query counts don't each compile
+        # a fresh _ivf_search shape (multi-minute remote compiles through the
+        # tunnel) — but unlike the dense path (one matmul; padding ~free) IVF
+        # cost is per-query slab gathers, so bucket to the next power of two
+        # instead of flooring every call at q_pad: a handful of reusable
+        # compile shapes without 32x the gather work for an 8-query call
+        bucket = 1
+        while bucket < min(len(q), q_pad):
+            bucket *= 2
+        q, q_n = pad_queries(q, min(bucket, q_pad))
         vals, idx = self.ivf.search(q, min(k, self.n))
         vals, idx = np.asarray(vals)[:q_n], np.asarray(idx)[:q_n]
         if vals.shape[1] < k:

@@ -276,6 +276,10 @@ class OnlineSampler:
     def _collate_questions(self, examples: list[dict], with_targets: bool, k: int):
         c = self.cfg
         B, L = len(examples), c.max_length
+        # the builders emit exactly k paragraphs per question; the static
+        # [B, k, L] batch shape the jitted step compiled for depends on it
+        assert all(len(ex["per_para"]) == k for ex in examples), \
+            f"per_para lengths {[len(ex['per_para']) for ex in examples]} != k={k}"
         def stack_para(field, pad_val=0, length=L, dtype=np.int32):
             return np.stack([
                 pad_to([pp[field] for pp in ex["per_para"]], length, pad_val, dtype)

@@ -11,6 +11,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/mips_retune_r3b.py
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -46,27 +47,44 @@ def main():
     _, want = mips_topk_reference(queries[:16], corpus, K)
     want = np.asarray(want)
 
-    res = {}
+    # CLAUDE.md: the FIRST timed loop in a process reads ~50% high and
+    # cross-process numbers drift. So: compile every config up front, run a
+    # full THROWAWAY round over all of them, then ROUNDS interleaved timed
+    # rounds (round-robin over configs) and take the per-config median.
+    fns, res = {}, {}
     for blk, grp, tq, sub in GRID:
         name = f"b{blk}_g{grp}_t{tq}_s{sub}"
+        fn = functools.partial(
+            mips_topk_pallas_v2, queries, corpus, K,
+            block=blk, group=grp, tile_q=tq, sub_chunks=sub,
+        )
         try:
-            fn = lambda: mips_topk_pallas_v2(
-                queries, corpus, K, block=blk, group=grp, tile_q=tq, sub_chunks=sub
-            )
-            vals, idx = fn()
-            np.asarray(idx.reshape(-1)[:1])
-            t0 = time.perf_counter()
-            for _ in range(10):
-                vals, idx = fn()
-            np.asarray(idx.reshape(-1)[:1])
-            idx.block_until_ready()
-            ms = (time.perf_counter() - t0) / 10 * 1e3
+            _, idx = fn()  # compile
             got = np.asarray(idx[:16])
             rec = float(np.mean([len(set(got[i]) & set(want[i])) / K
                                  for i in range(16)]))
-            res[name] = {"ms": round(ms, 2), "recall": round(rec, 4)}
+            fns[name] = fn
+            res[name] = {"recall": round(rec, 4)}
         except Exception as e:
             res[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print("compiled", name, res[name], flush=True)
+
+    REPS, ROUNDS = 10, 5
+    times = {name: [] for name in fns}
+    for rnd in range(ROUNDS + 1):  # round 0 is the throwaway
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                _, idx = fn()
+            np.asarray(idx.reshape(-1)[:1])
+            ms = (time.perf_counter() - t0) / REPS * 1e3
+            if rnd > 0:
+                times[name].append(ms)
+        print(f"round {rnd} done", flush=True)
+
+    for name, ts in times.items():
+        res[name]["ms"] = round(float(np.median(ts)), 2)
+        res[name]["ms_all"] = [round(t, 2) for t in ts]
         print(name, res[name], flush=True)
 
     print("FINAL", json.dumps(res))

@@ -107,7 +107,7 @@ def main() -> None:
         question_batch=4, num_workers=0,
     )
     sampler = OnlineSampler(qa_path, tok, db, index, scfg)
-    sampler._k = 5
+    k = 5
     qs = [q["question"] for q in sampler.qa_data[:4]]
     q_ids, rows, _ = sampler._retrieve(
         qs, lambda ids, mask: rng.standard_normal((ids.shape[0], 128)).astype(np.float32),
@@ -116,12 +116,12 @@ def main() -> None:
 
     def build_group(_):
         built = [
-            sampler._build_train_example(qa, qi, rr, None)
+            sampler._build_train_example(qa, qi, rr, None, k)
             for qa, qi, rr in zip(sampler.qa_data[:4], q_ids, rows)
         ]
         built = [b for b in built if b is not None]
         if built:
-            sampler._collate_questions(built, with_targets=True)
+            sampler._collate_questions(built, with_targets=True, k=k)
 
     t0 = time.perf_counter()
     for r in range(REPS):
@@ -129,13 +129,13 @@ def main() -> None:
     t_full = (time.perf_counter() - t0) / REPS * 1e3
 
     built = [
-        sampler._build_train_example(qa, qi, rr, None)
+        sampler._build_train_example(qa, qi, rr, None, k)
         for qa, qi, rr in zip(sampler.qa_data[:4], q_ids, rows)
     ]
     built = [b for b in built if b is not None]
     t0 = time.perf_counter()
     for _ in range(REPS):
-        sampler._collate_questions(built, with_targets=True)
+        sampler._collate_questions(built, with_targets=True, k=k)
     t_collate = (time.perf_counter() - t0) / REPS * 1e3
 
     print(json.dumps({

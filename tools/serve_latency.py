@@ -1,7 +1,12 @@
 """Warm QA serving latency: per-question wall time of the answer path
-(encode -> top-5000 search -> read eval_k paras -> span decode) on the
+(encode -> top-eval_k search -> read eval_k paras -> span decode) on the
 shared 6k-para qa_world, after compiles. This is the `proqa serve` /
 `answer --stdin` steady-state cost per request on one chip.
+
+NOTE: trainer.answer rides eval_load, which retrieves only k=eval_k
+candidates (reference predict semantics, online_sampler.py:274) — the
+sampler cfg's `candidates` budget applies to the TRAIN path only, so these
+p50/p95 are top-5-retrieval numbers, not top-5000.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/serve_latency.py
 """
