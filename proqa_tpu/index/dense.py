@@ -220,20 +220,25 @@ class IVFDenseIndex(DenseIndex):
             ivf.centroids, ivf.slabs, ivf.slab_rows, ivf.overflow, ivf.overflow_rows,
         )
 
-    def search(self, queries, k: int, *, exact: bool = False, q_pad: int = 256, **kw):
+    def search(self, queries, k: int, *, exact: bool = False, q_pad: int | None = None, **kw):
         if exact:  # explicit exact request bypasses the quantizer
-            return super().search(queries, k, exact=True, q_pad=q_pad, **kw)
+            return super().search(queries, k, exact=True,
+                                  q_pad=q_pad if q_pad is not None else 256, **kw)
         q = jnp.asarray(queries, dtype=self.embeddings.dtype)
         # pad ragged query batches so distinct query counts don't each compile
         # a fresh _ivf_search shape (multi-minute remote compiles through the
-        # tunnel) — but unlike the dense path (one matmul; padding ~free) IVF
-        # cost is per-query slab gathers, so bucket to the next power of two
-        # instead of flooring every call at q_pad: a handful of reusable
-        # compile shapes without 32x the gather work for an 8-query call
-        bucket = 1
-        while bucket < min(len(q), q_pad):
-            bucket *= 2
-        q, q_n = pad_queries(q, min(bucket, q_pad))
+        # tunnel). An EXPLICIT q_pad is a caller's compile-shape convention
+        # (e.g. the sampler pads every question group to one fixed size) —
+        # honor it exactly. Otherwise, unlike the dense path (one matmul;
+        # padding ~free) IVF cost is per-query slab gathers, so default to
+        # next-power-of-two buckets instead of flooring every call at 256: a
+        # handful of reusable compile shapes without 32x the gather work for
+        # an 8-query direct call.
+        if q_pad is None:
+            q_pad = 1
+            while q_pad < min(len(q), 256):
+                q_pad *= 2
+        q, q_n = pad_queries(q, q_pad)
         vals, idx = self.ivf.search(q, min(k, self.n))
         vals, idx = np.asarray(vals)[:q_n], np.asarray(idx)[:q_n]
         if vals.shape[1] < k:

@@ -30,6 +30,10 @@ import numpy as np
 from proqa_tpu.data.collate import pad_to
 from proqa_tpu.data.docdb import DocDB
 from proqa_tpu.index.dense import DenseIndex
+from proqa_tpu.ops.mips import NEG_INF
+
+# scores at/below this are under-filled-search padding (index contract)
+_PAD_SCORE = float(NEG_INF)
 from proqa_tpu.qa.prepro import hash_question
 from proqa_tpu.text.matching import match_answer_span, normalize
 from proqa_tpu.text.simple import SimpleTokenizer
@@ -154,7 +158,7 @@ class OnlineSampler:
             mask = np.concatenate([mask, np.zeros((npad, cfgq), mask.dtype)])
             mask[nq:, 0] = 1  # pad rows attend [CLS] only (no all-masked rows)
 
-        rows = None
+        vals = rows = None
         enc_search = getattr(query_encoder, "encode_search", None)
         if enc_search is not None:
             # one-dispatch encode+search (QATrainer._encode_search): the
@@ -162,12 +166,21 @@ class OnlineSampler:
             # latency twice per question group
             res = enc_search(ids, mask, self.index, k, c.exact_search)
             if res is not None:
-                rows = res[1][:nq]
+                vals, rows = res[0][:nq], res[1][:nq]
         if rows is None:
             embeds = np.asarray(query_encoder(ids, mask), np.float32)[:nq]
-            _, rows = self.index.search(
+            vals, rows = self.index.search(
                 embeds, k, exact=c.exact_search, q_pad=bpad,
             )
+        # Under-filled searches pad with (row 0, -inf score) — the index
+        # contract. Convert those slots to row -1 HERE so gold labeling
+        # (isin over cand_rows) can never count a padding slot as a gold hit
+        # when the real row 0 happens to be gold. Device-side gathers
+        # (jnp.take, mode=clip) map -1 back to row 0; host id lookups clip
+        # explicitly before indexing.
+        rows = np.where(
+            np.asarray(vals, np.float32) <= _PAD_SCORE, -1, np.asarray(rows)
+        )
         if not gather_embeds:
             # train path: the reader gathers para_embed ON DEVICE from the
             # resident index (qa_forward para_rows) — shipping [B, 5000, 128]
@@ -194,7 +207,8 @@ class OnlineSampler:
         top_labels = np.isin(
             np.asarray(cand_rows), gold_rows, assume_unique=False
         ).astype(np.int32)
-        cand_ids = self.index.id_map.rows_to_ids(cand_rows[:k])
+        # -1 padding slots (see _retrieve) clip to row 0 like the device path
+        cand_ids = self.index.id_map.rows_to_ids(np.maximum(cand_rows[:k], 0))
         per_para = []
         any_covered = False
         for pid in cand_ids[:k]:
@@ -365,7 +379,8 @@ class OnlineSampler:
             )
             examples = []
             for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):
-                cand_ids = self.index.id_map.rows_to_ids(rr)
+                # -1 padding slots (see _retrieve) clip to row 0
+                cand_ids = self.index.id_map.rows_to_ids(np.maximum(rr, 0))
                 per_para = []
                 for pid in cand_ids[:k]:
                     text = self.db.get_doc_text(pid)

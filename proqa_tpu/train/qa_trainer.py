@@ -543,17 +543,22 @@ class QATrainer:
             ems, rows = [], []
             for qid, preds in qid2results.items():
                 top = max(preds, key=lambda x: alpha * x.span_score + (1 - alpha) * x.rank_score)
-                # gold-less rows (serving-style inputs) score 0 instead of
-                # crashing max() over an empty ground-truth list
-                em_i = (
-                    metric_max_over_ground_truths(match_fn, top.text, qid2ground[qid])
-                    if qid2ground[qid] else 0.0
-                )
-                ems.append(em_i)
+                # gold-less rows (serving-style inputs) are EXCLUDED from the
+                # EM mean — averaging them in as 0 would silently deflate EM
+                # on mixed datasets (suppressing best-model saves and firing
+                # wait_step early); the reference assumes gold always exists
+                if qid2ground[qid]:
+                    em_i = metric_max_over_ground_truths(
+                        match_fn, top.text, qid2ground[qid]
+                    )
+                    ems.append(em_i)
+                else:
+                    em_i = None  # not scorable
                 rows.append({
                     "question": top.question, "para": top.passage, "answer": top.text,
                     "rank_score": top.rank_score, "span_score": top.span_score,
-                    "gold": qid2ground[qid], "em": float(em_i), "alpha": alpha,
+                    "gold": qid2ground[qid], "alpha": alpha,
+                    "em": None if em_i is None else float(em_i),
                 })
             em = float(np.mean(ems)) if ems else 0.0
             if em > best_em:

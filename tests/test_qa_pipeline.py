@@ -126,6 +126,37 @@ def test_sampler_train_batches(world, scfg):
     assert b["top5000_labels"].sum() > 0
 
 
+def test_underfilled_candidates_never_labeled_gold(world):
+    """Under-filled searches pad candidate slots with (row 0, -inf). Those
+    slots must NOT be counted gold by the sampler's isin labeling when the
+    real row 0 is a gold paragraph (question 0's gold set includes p0 = row
+    0 here). The sampler marks them row -1 at the retrieval boundary; the
+    device gather clips -1 back to row 0 (same embedding as before)."""
+    scfg2 = OnlineSamplerConfig(
+        max_query_length=12, max_length=48, candidates=16, max_spans=8,
+        question_batch=4, exact_search=False, num_workers=0,
+    )
+    # nlist=16, nprobe=1, cap factor 1: a probe sees ~cap+overflow slots,
+    # far fewer than the 16 requested candidates -> padding tail guaranteed
+    ivf_index = world["index"].to_ivf(
+        nlist=16, nprobe=1, niter=5, capacity_factor=1.0,
+    )
+    sampler = OnlineSampler(
+        world["qa_path"], world["tok"], world["db"], ivf_index, scfg2,
+        matched_para_path=world["matched_path"],
+    )
+    batches = list(sampler.load(_query_encoder(world), k=3, questions_per_batch=4))
+    assert batches, "no batches produced"
+    saw_padding = False
+    for batch in batches:
+        rows = batch["net_input"]["para_rows"]
+        labels = batch["net_input"]["top5000_labels"]
+        pad = rows < 0
+        saw_padding = saw_padding or bool(pad.any())
+        assert (labels[pad] == 0).all(), "padding slot labeled gold"
+    assert saw_padding, "test setup: expected under-filled candidate lists"
+
+
 def test_sampler_failed_retrieval_counted(world, scfg):
     bad_qa = [{"question": "what is about tok1", "answer": ["zzzz_missing"]}]
     sampler = OnlineSampler(
@@ -314,6 +345,32 @@ def test_predict_save_all(world, scfg, tmp_path):
     best = max(ems_by_alpha.values())
     first_best = next(a for a in ALPHA_GRID if ems_by_alpha[a] == best)
     assert all(r["alpha"] == first_best for r in best_rows)
+
+
+def test_predict_em_excludes_goldless_rows(world, scfg, tmp_path):
+    """Gold-less (serving-style) eval rows must not deflate the EM mean:
+    predict over gold+gold-less == predict over the gold subset alone."""
+    trainer = _make_trainer(world, tmp_path, "goldless")
+    gold_path = str(tmp_path / "gold_only.jsonl")
+    mixed_path = str(tmp_path / "mixed.jsonl")
+    gold_rows = [json.loads(l) for l in open(world["qa_path"])][:4]
+    with open(gold_path, "w") as f:
+        for qa in gold_rows:
+            f.write(json.dumps(qa) + "\n")
+    with open(mixed_path, "w") as f:
+        for qa in gold_rows:
+            f.write(json.dumps(qa) + "\n")
+        for i in range(4):
+            f.write(json.dumps({"question": f"serving query tok{40+i}"}) + "\n")
+    args = (world["tok"], world["db"], world["index"], scfg)
+    em_gold = trainer.predict(OnlineSampler(gold_path, *args))
+    save = str(tmp_path / "mixed_preds.jsonl")
+    em_mixed = trainer.predict(OnlineSampler(mixed_path, *args), save_path=save)
+    assert em_mixed == pytest.approx(em_gold)
+    rows = [json.loads(l) for l in open(save)]
+    assert len(rows) == 8
+    assert all(r["em"] is None for r in rows if not r["gold"])
+    assert all(r["em"] is not None for r in rows if r["gold"])
 
 
 def test_sampler_interleaved_load_eval_load(world, scfg):
