@@ -257,7 +257,11 @@ def build_index(
 
     dataset = EncodeDataset(tokenizer, corpus_jsonl, max_length=max_length, is_query=False)
     if doc_ids is None:
-        doc_ids = [row.get("id", str(i)) for i, row in enumerate(dataset.data)]
+        # stringify like the streaming path (:158) and build-db (cli/main.py):
+        # an int jsonl id would otherwise miss every DocDB text lookup (sqlite
+        # no-affinity column stores "123", int 123 never matches) and every
+        # gold-row inverse lookup — silent quality collapse, no error
+        doc_ids = [str(row.get("id", i)) for i, row in enumerate(dataset.data)]
     embeds = encode_corpus(
         params, cfg, dataset, batch_size=batch_size, is_query=False, mesh=mesh, progress=True
     )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from proqa_tpu.ops.mips import mips_topk
+from proqa_tpu.ops.mips import NEG_INF, mips_topk
 from proqa_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -42,6 +42,10 @@ def sharded_mips_topk(
     assert n % n_dev == 0, f"corpus rows {n} not divisible by mesh size {n_dev}"
     local_n = n // n_dev
 
+    # a shard can hold fewer rows than k (large k over many chips): each
+    # chip contributes its whole shard and the merge finds the global top-k
+    k_local = min(k, local_n)
+
     def local_search(q, c_local):
         offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * local_n
         if n_valid is not None and n_valid < n:
@@ -51,13 +55,21 @@ def sharded_mips_topk(
             # shard. Per-shard valid count is traced from axis_index.
             local_valid = jnp.clip(jnp.int32(n_valid) - offset, 0, local_n)
             vals, idx = mips_topk(
-                q, c_local, k, exact=exact, n_valid=local_valid, **search_kw
+                q, c_local, k_local, exact=exact, n_valid=local_valid, **search_kw
             )
         else:
-            vals, idx = mips_topk(q, c_local, k, exact=exact, **search_kw)
+            vals, idx = mips_topk(q, c_local, k_local, exact=exact, **search_kw)
         idx = idx + offset
         if n_valid is not None and n_valid < n:
-            vals = jnp.where(idx < n_valid, vals, jnp.float32(-3.0e38))
+            vals = jnp.where(idx < n_valid, vals, jnp.float32(NEG_INF))
+        if k_local < k:
+            # pad local lists to k columns so the ICI merge keeps a static
+            # [Q, n_dev*k] shape; padded slots carry the index-wide
+            # degenerate contract (row 0, NEG_INF) and lose the merge to
+            # any real candidate
+            vals = jnp.pad(vals, ((0, 0), (0, k - k_local)),
+                           constant_values=float(NEG_INF))
+            idx = jnp.pad(idx, ((0, 0), (0, k - k_local)))
         # [n_dev, Q, k] on every chip
         all_vals = jax.lax.all_gather(vals, DATA_AXIS)
         all_idx = jax.lax.all_gather(idx, DATA_AXIS)

@@ -230,7 +230,14 @@ class RetrieverTrainer:
         for epoch in range(start_epoch, t.num_train_epochs):
             for batch in train_batches_fn(epoch):
                 tracer.tick()
-                batch.pop("__rows__", None)
+                rows = batch.pop("__rows__", None)
+                # a padded trailing train batch duplicates rows, corrupting
+                # in-batch negatives (dup gold columns) — callers must pass
+                # drop_last=True; evaluate() is where ragged tails belong
+                assert rows is None or rows == len(batch["input_ids_q"]), (
+                    f"padded train batch ({rows} real rows): build train "
+                    "batches with drop_last=True"
+                )
                 self.rng, step_rng = jax.random.split(self.rng)
                 with timer:
                     self.state, m = self._train_step(
@@ -263,8 +270,12 @@ class RetrieverTrainer:
                         wait += 1
                         if wait == t.wait_step:
                             stop = True
-                            break
+                    # write meta BEFORE any early-stop break: recording
+                    # wait = wait_step - 1 would make a resume() restart a
+                    # countdown that had already fired
                     self._write_meta(best_acc, wait, epoch)
+                    if stop:
+                        break
             if stop:
                 break
         tracer.close()

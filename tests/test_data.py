@@ -158,6 +158,34 @@ def test_batch_loader_propagates_and_orders():
         list(loader)
 
 
+def test_batch_loader_close_unblocks_producer():
+    """Abandoning iteration must not leave the producer parked forever in a
+    full queue (it would pin the source iterator + prefetched batches)."""
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    loader = BatchLoader(gen(), prefetch=2)
+    it = iter(loader)
+    assert next(it) == 0
+    it.close()  # generator finally -> loader.close()
+    loader._thread.join(timeout=5)
+    assert not loader._thread.is_alive()
+    assert len(produced) < 1000  # producer stopped early, not drained
+
+
+def test_batch_loader_is_single_use():
+    """A second pass would block forever on a sentinel the first pass ate —
+    must raise instead of deadlocking."""
+    loader = BatchLoader(iter(range(3)), prefetch=2)
+    assert list(loader) == [0, 1, 2]
+    with pytest.raises(RuntimeError, match="single-use"):
+        list(loader)
+
+
 def test_idmap_roundtrip(tmp_path):
     m = IdMap.from_doc_ids(["d3", "d1", "d9"])
     p = str(tmp_path / "idx_id.json")

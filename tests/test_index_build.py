@@ -57,7 +57,20 @@ def test_encode_corpus_matches_direct(setup):
     np.testing.assert_allclose(emb[0], direct[0], atol=1e-5)
 
 
-def test_build_index_roundtrip(setup, tmp_path):
+def test_build_index_stringifies_int_ids(setup, tmp_path):
+    """jsonl int ids must become str in the IdMap like the streaming path and
+    build-db do — an int id silently misses every sqlite text lookup and
+    gold-row inverse lookup (no error, retrieval quality just collapses)."""
+    root, cfg, params = setup
+    path = tmp_path / "int_ids.jsonl"
+    with open(path, "w") as f:
+        for i in range(9):
+            f.write(json.dumps({"text": f"para {i} words", "id": i}) + "\n")
+    index = build_index(
+        params, cfg, str(path), tokenizer=FakeTok(), max_length=12, batch_size=4,
+        dtype=jnp.float32,
+    )
+    assert index.id_map.rows_to_ids([0, 8]) == ["0", "8"]
     root, cfg, params = setup
     index = build_index(
         params, cfg, str(root / "corpus.jsonl"),

@@ -28,6 +28,27 @@ def test_sharded_equals_reference(mesh):
     np.testing.assert_allclose(np.asarray(sv), np.asarray(rv), rtol=1e-6)
 
 
+def test_sharded_k_exceeds_shard_rows(mesh):
+    """k larger than a shard's row count (big k over many chips): each chip
+    contributes its whole shard padded to k columns and the ICI merge still
+    returns the exact global top-k."""
+    rng = np.random.default_rng(3)
+    n, d, q, k = 8 * 16, 32, 4, 40   # local_n = 16 < k = 40
+    corpus = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    rv, ri = mips_topk_reference(queries, corpus, k)
+    sv, si = sharded_mips_topk(queries, shard_rows(mesh, corpus), k, mesh)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(rv), rtol=1e-6)
+    # and with trailing padded rows masked by global index
+    n_valid = n - 20
+    rv2, ri2 = mips_topk_reference(queries, corpus[:n_valid], k)
+    sv2, si2 = sharded_mips_topk(
+        queries, shard_rows(mesh, corpus), k, mesh, n_valid=n_valid
+    )
+    np.testing.assert_array_equal(np.asarray(si2), np.asarray(ri2))
+
+
 def test_sharded_blockmax_path(mesh):
     """Large-enough shards route through the block-max search per chip."""
     rng = np.random.default_rng(1)

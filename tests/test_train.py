@@ -187,7 +187,25 @@ def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
     assert "wait" in trainer2._resume_meta
 
 
-def test_resume_continues_training(tmp_path, cfg):
+def test_early_stop_writes_fired_countdown_to_meta(tmp_path, cfg):
+    """When wait_step fires, trainer_meta.json must record wait == wait_step
+    (not wait_step - 1): a resume() from a stopped run must not silently
+    restart an early-stopping countdown that had already fired."""
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=0.0, eval_period=1, save_checkpoints_steps=10_000,
+        num_train_epochs=1, wait_step=2, output_dir=str(tmp_path / "run"),
+        seed=2,
+    )
+    trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    # lr=0: params never move, eval accuracy is constant -> after the first
+    # eval (improve-or-not), every later eval increments wait until stop
+    trainer.train(
+        lambda epoch: iter(_toy_batches(cfg, 8, 16)),
+        lambda: iter(_toy_batches(cfg, 1, 16, seed=7)),
+    )
+    meta = json.load(open(tmp_path / "run" / "trainer_meta.json"))
+    assert meta["wait"] == 2
     """Full-state resume: a resumed trainer must continue stepping with the
     restored optimizer state (not restart momentum from zero)."""
     mesh = make_mesh(8)
