@@ -75,6 +75,9 @@ def evaluate_retrieval(
         f"{len(qa_pairs)} QA pairs in {qa_path} but {query_embeds.shape[0]} "
         "query embeddings — rows must align"
     )
-    ks = tuple(k for k in ks if k <= topk) or (topk,)
+    # always score the full retrieval depth too (reference get_score reports
+    # 'Top {topk} Recall' unconditionally) — otherwise --topk 100 pays the
+    # k=100 search but never reports recall@100
+    ks = tuple(k for k in ks if k < topk) + (topk,)
     _, _, ids = index.search_ids(query_embeds, topk)
     return recall_at_k(qa_pairs, ids, db, ks=ks, num_workers=num_workers)

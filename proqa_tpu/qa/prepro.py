@@ -37,7 +37,9 @@ def match_question_paras(
             continue
         p = normalize(text)
         if match == "regex":
-            found = regex_match(p, normalize(qa["answer"][0]))
+            # empty-string matches (nullable patterns) dropped: matched_paras
+            # is TRAIN supervision — '' would mark every paragraph gold
+            found = [m for m in regex_match(p, normalize(qa["answer"][0])) if m]
             if found:
                 matched_paras[pid] = found
         else:

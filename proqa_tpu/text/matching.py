@@ -75,7 +75,11 @@ def match_answer_span(paragraph: str, answers, tokenizer: SimpleTokenizer, match
     `match="regex"` treats answers[0] as a regex (CuratedTrec convention).
     """
     if match == "regex":
-        return regex_match(paragraph, normalize(answers[0]))
+        # drop empty-string matches (nullable patterns like '\d*' match ''
+        # at every position): same deliberate train-path divergence as the
+        # empty ans_words guard below — '' would enumerate len(p) char spans
+        # and mark every paragraph covered with garbage span targets
+        return [m for m in regex_match(paragraph, normalize(answers[0])) if m]
     nat = _native_matcher(tokenizer)
     if nat is not None:
         res = nat.match(paragraph, [normalize(a) for a in answers], first_only=False)

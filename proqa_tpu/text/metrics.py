@@ -1,7 +1,8 @@
 """Official open-QA answer metrics (SQuAD/MRQA-style EM, F1, regex match).
 
 Equivalent of /root/reference/qa/official_eval.py:20-112. Pure functions,
-golden-tested against known values in tests/test_metrics.py.
+golden-tested in tests/test_text.py (TestMetrics) and executed against the
+reference's own official_eval in tests/test_reference_exec.py.
 """
 from __future__ import annotations
 

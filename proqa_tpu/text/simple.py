@@ -22,7 +22,20 @@ try:
 except ImportError:  # pragma: no cover - regex is present in the image
     import re as _re
 
-    _PATTERN = _re.compile(r"(\w+)|([^\w\s])", flags=_re.UNICODE | _re.MULTILINE)
+    # Approximate \p{L}\p{N}\p{M} with stdlib re: [^\W_] is \w minus '_'
+    # (the reference's class excludes underscore), plus the combining-mark
+    # blocks so NFD-normalized text ('café' -> 'café', which the
+    # matchers always produce) stays one token instead of splitting at every
+    # accent. Same IGNORECASE+MULTILINE flags as the reference compile.
+    _MARKS = "̀-ͯ҃-҉֑-ֽؐ-ؚ" \
+             "ً-ٰٟۖ-ۜऀ-ः़" \
+             "ัิ-ฺ็-๎᪰-᫿᷀-᷿" \
+             "⃐-⃿︠-︯"
+    _ALNUM_RE = rf"(?:[^\W_]|[{_MARKS}])+"
+    _PATTERN = _re.compile(
+        rf"({_ALNUM_RE})|([^\s])",
+        flags=_re.IGNORECASE | _re.UNICODE | _re.MULTILINE,
+    )
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,28 @@ def test_recall_at_k(tmp_path):
     assert out[3] == 0.5
 
 
+def test_evaluate_retrieval_reports_full_depth(tmp_path):
+    """recall@topk must always be reported, even when topk exceeds every
+    default ks entry (the reference's get_score always prints
+    'Top {topk} Recall') — otherwise --topk pays the deeper search without
+    scoring it."""
+    from proqa_tpu.index.recall import evaluate_retrieval
+
+    db = DocDB.create(str(tmp_path / "f.db"), [
+        (f"d{i}", f"text {'paris' if i == 2 else 'other'} words") for i in range(4)
+    ])
+    emb = np.eye(4, 8, dtype=np.float32)
+    index = DenseIndex.from_embeddings(
+        emb, IdMap.from_doc_ids([f"d{i}" for i in range(4)]), dtype=jnp.float32,
+    )
+    qa_path = tmp_path / "qa.jsonl"
+    qa_path.write_text(json.dumps({"question": "q", "answer": ["paris"]}) + "\n")
+    q = np.eye(1, 8, dtype=np.float32)  # nearest d0, gold at d2 (rank 3)
+    out = evaluate_retrieval(str(qa_path), index, q, db, topk=3, ks=(1, 2))
+    assert set(out) == {1, 2, 3}
+    assert out[3] == 1.0 and out[1] == 0.0
+
+
 def test_build_index_streaming_matches_inmemory(setup, tmp_path):
     """Bounded-RAM streaming build (chunked tokenize + incremental memmap
     write) must produce the identical index artifact and search results."""

@@ -146,6 +146,43 @@ class TestMatching:
     def test_regex_bad_pattern(self):
         assert regex_match("text", "[unclosed") == []
 
+    def test_match_regex_drops_empty_matches(self):
+        """Nullable patterns ('\\d*' matches '' at every position) must not
+        mark every paragraph covered with whole-paragraph span targets —
+        same train-path guard as the empty ans_words case."""
+        spans = match_answer_span("no digits here at all", ["\\d*"], None, match="regex")
+        assert spans == []
+        spans = match_answer_span("years 1492 and 1493", ["\\d*"], None, match="regex")
+        assert set(spans) == {"1492", "1493"}
+
+    def test_simple_tokenizer_re_fallback_parity(self):
+        """The stdlib-re fallback pattern must tokenize NFD text (which the
+        matchers always produce) like the regex-module original: combining
+        marks stay inside words, '_' is its own token, IGNORECASE set."""
+        import re as _stdre
+        import unicodedata
+
+        from proqa_tpu.text import simple as _simple
+
+        fallback_src = open(_simple.__file__).read()
+        assert "[^\\W_]" in fallback_src  # fallback exists
+        marks = _simple.__dict__.get("_MARKS")
+        if marks is None:  # regex module was importable: rebuild the fallback
+            marks = "̀-ͯ҃-҉֑-ֽؐ-ؚ" \
+                    "ً-ٰٟۖ-ۜऀ-ः़" \
+                    "ัิ-ฺ็-๎᪰-᫿᷀-᷿" \
+                    "⃐-⃿︠-︯"
+        pat = _stdre.compile(
+            rf"((?:[^\W_]|[{marks}])+)|([^\s])",
+            flags=_stdre.IGNORECASE | _stdre.UNICODE | _stdre.MULTILINE,
+        )
+        st = SimpleTokenizer()
+        for text in ["naïve café", "foo_bar baz", "hello, world!", "ABC123 ÅΩ"]:
+            nfd = unicodedata.normalize("NFD", text)
+            want = st.tokenize(nfd).words()
+            got = [m.group() for m in pat.finditer(nfd)]
+            assert got == want, (text, got, want)
+
     def test_normalize_nfd(self):
         assert normalize("café") == "café"
 
