@@ -39,6 +39,9 @@ class IVFIndex:
     overflow: jax.Array         # [n_over_padded, D]
     overflow_rows: jax.Array    # [n_over_padded] original row id (-1 = padding)
     nprobe: int = 20
+    # metric the quantizer was TRAINED with; probe selection must match it
+    # (faiss uses one quantizer for assignment and probing alike)
+    spherical: bool = True
 
     @property
     def nlist(self) -> int:
@@ -80,18 +83,26 @@ class IVFIndex:
         return _ivf_search(
             q, self.centroids, self.slabs, self.slab_rows,
             self.overflow, self.overflow_rows, k=k, nprobe=self.nprobe,
+            spherical=self.spherical,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-def _ivf_search(q, centroids, slabs, slab_rows, overflow, overflow_rows, *, k, nprobe):
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "spherical"))
+def _ivf_search(q, centroids, slabs, slab_rows, overflow, overflow_rows, *, k,
+                nprobe, spherical=True):
     qn, d = q.shape
     nlist, cap, _ = slabs.shape
     nprobe = min(nprobe, nlist)
 
     c_scores = jnp.einsum(
-        "qd,ld->ql", q.astype(jnp.float32), centroids, preferred_element_type=jnp.float32
+        "qd,ld->ql", q.astype(jnp.float32), centroids,
+        preferred_element_type=jnp.float32, precision=_precision(jnp.float32),
     )
+    if not spherical:
+        # L2-trained quantizer: rows were ASSIGNED by argmin ||x - c||^2
+        # (== argmax x.c - |c|^2/2); probing by raw IP would use a different
+        # geometry and can skip the slab a gold row actually lives in
+        c_scores = c_scores - 0.5 * jnp.sum(jnp.square(centroids), axis=1)[None, :]
     _, probes = exact_topk(c_scores, nprobe)                      # [Q, nprobe]
 
     cand = jnp.take(slabs, probes, axis=0)                        # [Q, nprobe, cap, D]
@@ -191,4 +202,5 @@ def build_ivf(
         overflow=jnp.asarray(overflow, dtype),
         overflow_rows=jnp.asarray(overflow_rows, jnp.int32),
         nprobe=nprobe,
+        spherical=spherical,
     )

@@ -22,12 +22,19 @@ import jax.numpy as jnp
 class KMeansResult(NamedTuple):
     centroids: jax.Array     # [k, D] f32
     assignments: jax.Array   # [N] i32
-    objective: jax.Array     # mean best-score (IP) or mean distance (L2)
+    # mean best ASSIGNMENT SCORE (higher = better for both geometries):
+    # inner product when spherical, the L2 surrogate x.c - |c|^2/2 otherwise
+    # (NOT a distance — it grows as clustering improves and can be negative)
+    objective: jax.Array
 
 
 def _chunk_scores(x: jax.Array, centroids: jax.Array, spherical: bool) -> jax.Array:
     """Higher is better. L2 argmin == argmax of (x.c - |c|^2/2)."""
-    ip = jnp.einsum("nd,kd->nk", x, centroids, preferred_element_type=jnp.float32)
+    # f32 scoring pinned to true-f32 (repo convention: TPU DEFAULT silently
+    # runs bf16 passes, making near-tie assignments backend-dependent)
+    ip = jnp.einsum("nd,kd->nk", x, centroids,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     if spherical:
         return ip
     c_sq = 0.5 * jnp.sum(jnp.square(centroids), axis=-1)
@@ -102,12 +109,20 @@ def _kmeanspp_init(rng, train, k, spherical):
     """k-means++ seeding: sample each next centroid ∝ squared distance to the
     nearest chosen one. O(k·N·D) — use for moderate k; random init for huge k."""
     n = train.shape[0]
-    first = jax.random.randint(rng, (), 0, n)
+    rng_first, rng = jax.random.split(rng)  # never consume a key twice
+    first = jax.random.randint(rng_first, (), 0, n)
     x32 = train.astype(jnp.float32)
 
     def body(carry, r):
         centroids, d2 = carry
-        probs = d2 / jnp.maximum(jnp.sum(d2), 1e-12)
+        total = jnp.sum(d2)
+        # all-zero residuals (k >= distinct points): ∝-d2 sampling would
+        # cumsum zeros and silently clamp to the LAST row for every
+        # remaining centroid — fall back to uniform (duplicates are then
+        # benign: Lloyd's empty-cluster carryover keeps them stable)
+        probs = jnp.where(
+            total > 0.0, d2 / jnp.maximum(total, 1e-12), jnp.full_like(d2, 1.0 / n)
+        )
         nxt = jax.random.choice(r, n, p=probs)
         c = x32[nxt]
         nd2 = jnp.sum(jnp.square(x32 - c[None, :]), axis=-1)
@@ -143,16 +158,19 @@ def kmeans(
     chunk = min(chunk, max(1024, (1 << 26) // max(k, 1)))
     n = data.shape[0]
     train = data
+    # split per use: reusing one key for subsample AND init would correlate
+    # the draws (init picks a deterministic function of the subsample)
+    rng_sub, rng_init = jax.random.split(rng)
     if max_points_per_centroid is not None and n > k * max_points_per_centroid:
-        sel = jax.random.choice(rng, n, shape=(k * max_points_per_centroid,), replace=False)
+        sel = jax.random.choice(rng_sub, n, shape=(k * max_points_per_centroid,), replace=False)
         train = jnp.take(data, sel, axis=0)
 
     if init == "auto":
         init = "kmeans++" if k <= 1024 else "random"
     if init == "kmeans++":
-        centroids = _kmeanspp_init(rng, train, k, spherical)
+        centroids = _kmeanspp_init(rng_init, train, k, spherical)
     else:
-        init_sel = jax.random.choice(rng, train.shape[0], shape=(k,), replace=False)
+        init_sel = jax.random.choice(rng_init, train.shape[0], shape=(k,), replace=False)
         centroids = jnp.take(train, init_sel, axis=0).astype(jnp.float32)
     if spherical:
         centroids = centroids / jnp.maximum(

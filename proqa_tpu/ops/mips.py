@@ -124,14 +124,54 @@ def exact_topk(scores: jax.Array, k: int, *, group: int | None = None,
     return vals, idx.astype(jnp.int32)
 
 
+def rescore_block_candidates(
+    q_emb: jax.Array, blocks_ids: jax.Array, corpus_blocks: jax.Array, *,
+    k: int, block: int, n_valid, select_fn=None,
+):
+    """Phase-2 exact rescore shared by the XLA block-max path and the Pallas
+    pipeline (ONE home for the gather/score/pad-mask/select semantics so a
+    fix cannot silently miss one copy).
+
+    q_emb [QC, D]; blocks_ids [QC, kb] candidate block ids; corpus_blocks
+    [NB, block, D]. Returns (values [QC, k] f32, row indices [QC, k] i32).
+    """
+    if select_fn is None:
+        select_fn = exact_topk
+    qc, kb = q_emb.shape[0], blocks_ids.shape[1]
+    cand = jnp.take(corpus_blocks, blocks_ids, axis=0)       # [QC, kb, B, D]
+    s = jnp.einsum(
+        "qkbd,qd->qkb", cand.astype(q_emb.dtype), q_emb,
+        preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
+    ).reshape(qc, kb * block)
+    base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
+    flat_idx = base.reshape(qc, kb * block)
+    s = jnp.where(flat_idx < n_valid, s, NEG_INF)
+    vals, sel = select_fn(s, k)
+    idx = jnp.take_along_axis(flat_idx, sel, axis=1)
+    return vals, idx.astype(jnp.int32)
+
+
+def sanitize_padding(vals: jax.Array, idx: jax.Array):
+    """Degenerate-tail contract: slots whose score is the padding sentinel
+    (masked pre-padded rows, k > real rows) come back as (NEG_INF, row 0) —
+    never a padded row's index, which IdMap lookups would map to a wrong or
+    out-of-range document. Real inner products can't reach NEG_INF."""
+    invalid = vals <= jnp.float32(NEG_INF)
+    return jnp.where(invalid, NEG_INF, vals), jnp.where(invalid, 0, idx)
+
+
 def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int, *, n_valid: int | None = None):
     """Naive full-score top-k. Ground truth for tests; fine for small N.
     n_valid: true row count when the corpus is pre-padded (padded rows are
-    never returned)."""
+    never returned: k > n_valid tails follow the (NEG_INF, row 0) degenerate
+    contract)."""
     scores = _scores(queries, corpus)
     if n_valid is not None:
         scores = _mask_padding(scores, n_valid)
-    vals, idx = jax.lax.top_k(scores, k)
+        vals, idx = jax.lax.top_k(scores, k)
+        vals, idx = sanitize_padding(vals, idx)
+    else:
+        vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
 
 
@@ -186,17 +226,9 @@ def mips_topk_blockmax(
 
     def chunk_topk(args):
         q_emb, blocks_ids = args                   # [QC, D], [QC, kb]
-        cand = jnp.take(corpus_blocks, blocks_ids, axis=0)  # [QC, kb, B, D]
-        s = jnp.einsum(
-            "qkbd,qd->qkb", cand.astype(q_emb.dtype), q_emb,
-            preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
-        ).reshape(q_emb.shape[0], kb * block)
-        base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
-        flat_idx = base.reshape(q_emb.shape[0], kb * block)
-        s = jnp.where(flat_idx < n_valid, s, NEG_INF)
-        vals, sel = exact_topk(s, k)
-        idx = jnp.take_along_axis(flat_idx, sel, axis=1)
-        return vals, idx.astype(jnp.int32)
+        return rescore_block_candidates(
+            q_emb, blocks_ids, corpus_blocks, k=k, block=block, n_valid=n_valid
+        )
 
     if q <= q_chunk:
         return chunk_topk((queries, top_blocks))
@@ -314,9 +346,16 @@ def mips_topk(
                 queries, corpus, k, block=block, group=2048 // block,
                 tile_q=tile_q, sub_chunks=4, n_valid=n_valid,
             )
-            return vals[:q], idx[:q]
-        return mips_topk_blockmax(queries, corpus, k, n_valid=n_valid, **kw)
-    return mips_topk_chunked_approx(queries, corpus, k, n_valid=n_valid, **kw)
+            vals, idx = vals[:q], idx[:q]
+            if n_valid is not None:
+                vals, idx = sanitize_padding(vals, idx)
+            return vals, idx
+        vals, idx = mips_topk_blockmax(queries, corpus, k, n_valid=n_valid, **kw)
+    else:
+        vals, idx = mips_topk_chunked_approx(queries, corpus, k, n_valid=n_valid, **kw)
+    if n_valid is not None:
+        vals, idx = sanitize_padding(vals, idx)
+    return vals, idx
 
 
 def pad_queries(queries: jax.Array, multiple: int) -> tuple[jax.Array, int]:

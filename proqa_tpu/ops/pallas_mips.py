@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from proqa_tpu.ops.mips import NEG_INF, _precision, exact_topk
+from proqa_tpu.ops.mips import (
+    NEG_INF, _precision, exact_topk, rescore_block_candidates,
+)
 
 
 def _bmax_kernel(qt_ref, c_ref, out_ref, *, block: int, tn: int, tq: int):
@@ -269,18 +271,10 @@ def mips_topk_pallas_v2(
 
     def chunk_topk(args):
         q_emb, blocks_ids = args
-        qc = q_emb.shape[0]
-        candr = jnp.take(corpus_blocks, blocks_ids, axis=0)      # [QC,kb,B,D]
-        s = jnp.einsum(
-            "qkbd,qd->qkb", candr.astype(q_emb.dtype), q_emb,
-            preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
-        ).reshape(qc, kb_b * block)
-        base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
-        flat_idx = base.reshape(qc, kb_b * block)
-        s = jnp.where(flat_idx < n_valid, s, NEG_INF)
-        vals, fin = _sels[2](s, k)
-        idx = jnp.take_along_axis(flat_idx, fin, axis=1)
-        return vals, idx.astype(jnp.int32)
+        return rescore_block_candidates(
+            q_emb, blocks_ids, corpus_blocks, k=k, block=block,
+            n_valid=n_valid, select_fn=_sels[2],
+        )
 
     if q_chunk is None or q <= q_chunk:
         return chunk_topk((queries, top_blocks))

@@ -51,6 +51,13 @@ def make_optimizer(
     """frozen_mask: pytree of bools, True = frozen (gradient zeroed).
     warmup/total_steps: optional linear warmup + linear decay schedule."""
     if warmup_steps or total_steps:
+        if callable(learning_rate):
+            # a schedule can't be the linear ramp's endpoint; composing an
+            # arbitrary callable with warmup would need the caller's intent
+            raise ValueError(
+                "learning_rate must be a float when warmup_steps/total_steps "
+                "are set (pass a complete optax schedule and leave them 0)"
+            )
         peak = learning_rate
         schedules = []
         boundaries = []

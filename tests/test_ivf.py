@@ -132,3 +132,32 @@ def test_ivf_search_chunks_large_query_batches(data):
     v, i = index.search(big_q, 10)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-6)
+
+
+def test_ivf_l2_quantizer_probes_l2_geometry():
+    """spherical=False: rows are ASSIGNED by L2; probing must use the same
+    geometry (ip - |c|^2/2), not raw IP — a large-norm centroid would
+    otherwise steal every probe and the gold row's slab never gets scanned."""
+    import jax
+
+    from proqa_tpu.index.ivf import IVFIndex
+
+    # c0 small-norm, c1 huge-norm; gold row x=[0.5, 0] is L2-assigned to c0
+    centroids = jnp.asarray([[0.1, 0.0], [10.0, 0.0]], jnp.float32)
+    slabs = jnp.asarray(
+        [[[0.5, 0.0]] * 8, [[0.0, 0.2]] * 8], jnp.float32
+    )
+    slab_rows = jnp.asarray(
+        [[0] + [-1] * 7, [1] + [-1] * 7], jnp.int32
+    )
+    index = IVFIndex(
+        centroids=centroids, slabs=slabs, slab_rows=slab_rows,
+        overflow=jnp.zeros((0, 2), jnp.float32),
+        overflow_rows=jnp.zeros((0,), jnp.int32),
+        nprobe=1, spherical=False,
+    )
+    q = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    # raw-IP probing would pick c1's slab (ip 10 vs 0.1) and return row 1;
+    # L2 probing picks c0 (0.095 vs -40) and finds the true best row 0
+    vals, idx = index.search(q, 1)
+    assert int(np.asarray(idx)[0, 0]) == 0

@@ -70,3 +70,28 @@ def test_assign_clusters_spherical():
     c = rng.standard_normal((5, 8)).astype(np.float32)
     a, _ = assign_clusters(jnp.asarray(x), jnp.asarray(c), spherical=True, chunk=64)
     np.testing.assert_array_equal(np.asarray(a), (x @ c.T).argmax(-1))
+
+
+def test_kmeanspp_more_centroids_than_distinct_points():
+    """k >= distinct points: residual distances go all-zero; sampling must
+    fall back to uniform instead of silently clamping every remaining
+    centroid to the last row."""
+    pts = jnp.asarray(np.tile(np.eye(3, 8, dtype=np.float32), (4, 1)))
+    res = kmeans(jax.random.PRNGKey(0), pts, 5, niter=3, init="kmeans++")
+    assert res.centroids.shape == (5, 8)
+    assert np.isfinite(np.asarray(res.centroids)).all()
+    a = np.asarray(res.assignments)
+    assert ((a >= 0) & (a < 5)).all()
+    # every distinct point still lands with its duplicates
+    for i in range(3):
+        group = a[[i, i + 3, i + 6, i + 9]]
+        assert (group == group[0]).all()
+
+
+def test_make_optimizer_rejects_schedule_with_warmup():
+    import pytest as _pytest
+
+    from proqa_tpu.train.optim import make_optimizer
+
+    with _pytest.raises(ValueError, match="warmup"):
+        make_optimizer(lambda step: 1e-5, warmup_steps=10)

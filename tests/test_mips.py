@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from proqa_tpu.ops.mips import (
+    NEG_INF,
     mips_topk,
     mips_topk_blockmax,
     mips_topk_chunked_approx,
@@ -108,3 +109,25 @@ def test_exact_topk_adversarial_one_group():
     v, i = exact_topk(jnp.asarray(scores), 16, group=32)
     rv, ri = jax.lax.top_k(jnp.asarray(scores), 16)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_padded_rows_never_returned_when_k_exceeds_valid():
+    """k > n_valid: the tail must follow the (NEG_INF, row 0) degenerate
+    contract — a padded row's index through IdMap.rows_to_ids would hit a
+    wrong or out-of-range document."""
+    rng = np.random.default_rng(11)
+    corpus = jnp.asarray(np.vstack([
+        rng.standard_normal((5, 16)).astype(np.float32),
+        np.zeros((3, 16), np.float32),       # pre-padded rows
+    ]))
+    q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    for fn in (
+        lambda: mips_topk_reference(q, corpus, 8, n_valid=5),
+        lambda: mips_topk(q, corpus, 8, n_valid=5),
+    ):
+        vals, idx = fn()
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        pad = vals <= float(NEG_INF)
+        assert pad[:, 5:].all()             # only 5 real rows exist
+        assert (idx[pad] == 0).all()        # never a padded row's index
+        assert (idx < 5).all()
