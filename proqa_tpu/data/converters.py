@@ -73,8 +73,11 @@ def retrieve_topk_labels(
         for sample, rr in zip(raw, rows):
             gold = set(sample["labels"])
             idxs = [int(r) for r in rr]
-            labels = [int(int(index.id_map[r]) in gold if index.id_map else r in gold)
-                      for r in idxs]
+            labels = [
+                int(int(index.id_map[r]) in gold if index.id_map is not None
+                    else r in gold)
+                for r in idxs
+            ]
             sample["para_embed_idx"] = idxs
             sample["para_labels"] = labels
             if index.id_map is not None:

@@ -97,4 +97,8 @@ def load_torch_checkpoint(path: str) -> dict:
     """Load a torch .pt state dict on CPU (host-side only)."""
     import torch
 
-    return torch.load(path, map_location="cpu")
+    try:
+        # plain state dicts (the released checkpoints) need no pickle code
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu")

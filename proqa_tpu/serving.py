@@ -95,7 +95,9 @@ def make_qa_server(
                 return self._send(
                     400, {"error": "provide 'question' or 'questions' list"}
                 )
-            if not all(isinstance(q, str) and q.strip() for q in questions):
+            if not questions or not all(
+                isinstance(q, str) and q.strip() for q in questions
+            ):
                 return self._send(400, {"error": "questions must be non-empty strings"})
             try:
                 a = float(req.get("alpha", alpha))

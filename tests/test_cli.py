@@ -476,6 +476,7 @@ def test_cli_serve_http(world):
 
         assert post("/answer", {})[0] == 400
         assert post("/answer", {"questions": ["", "x"]})[0] == 400
+        assert post("/answer", {"questions": []})[0] == 400
         # malformed option values and non-object bodies get structured 400s,
         # never a dropped connection
         assert post("/answer", {"question": "x", "alpha": "high"})[0] == 400
