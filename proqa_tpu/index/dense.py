@@ -211,10 +211,12 @@ class IVFDenseIndex(DenseIndex):
             return None  # would need host-side chunking — keep the unfused path
         k_eff = min(k, self.n)
         nprobe = ivf.nprobe
+        spherical = ivf.spherical  # probe with the quantizer's own geometry
 
         def f(params, ids, cent, slabs, srows, over, orows):
             q = encode_fn(params, ids, _query_mask(ids)).astype(slabs.dtype)
-            return _ivf_search(q, cent, slabs, srows, over, orows, k=k_eff, nprobe=nprobe)
+            return _ivf_search(q, cent, slabs, srows, over, orows, k=k_eff,
+                               nprobe=nprobe, spherical=spherical)
 
         return jax.jit(f), (
             ivf.centroids, ivf.slabs, ivf.slab_rows, ivf.overflow, ivf.overflow_rows,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from proqa_tpu.ops.mips import NEG_INF, mips_topk
+from proqa_tpu.ops.mips import NEG_INF, mips_topk, sanitize_padding
 from proqa_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -78,7 +78,10 @@ def sharded_mips_topk(
         cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, n_dev * k)
         mv, sel = jax.lax.top_k(cat_vals, k)
         mi = jnp.take_along_axis(cat_idx, sel, axis=1)
-        return mv, mi
+        # re-assert the (NEG_INF, row 0) degenerate contract after the merge:
+        # a fully-padded shard's sanitized local row 0 became `offset` above —
+        # a PADDED global id that IdMap would map out of range
+        return sanitize_padding(mv, mi)
 
     fn = shard_map(
         local_search,

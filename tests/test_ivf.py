@@ -161,3 +161,35 @@ def test_ivf_l2_quantizer_probes_l2_geometry():
     # L2 probing picks c0 (0.095 vs -40) and finds the true best row 0
     vals, idx = index.search(q, 1)
     assert int(np.asarray(idx)[0, 0]) == 0
+
+
+def test_ivf_fused_search_uses_quantizer_geometry():
+    """The fused encode+search path must probe with the quantizer's own
+    geometry: with spherical=False, passing the default spherical=True into
+    _ivf_search would raw-IP-probe the huge-norm centroid's slab and miss
+    the gold row (same construction as the unfused test above)."""
+    import jax
+
+    from proqa_tpu.index.dense import IVFDenseIndex
+    from proqa_tpu.index.ivf import IVFIndex
+
+    centroids = jnp.asarray([[0.1, 0.0], [10.0, 0.0]], jnp.float32)
+    slabs = jnp.asarray([[[0.5, 0.0]] * 8, [[0.0, 0.2]] * 8], jnp.float32)
+    slab_rows = jnp.asarray([[0] + [-1] * 7, [1] + [-1] * 7], jnp.int32)
+    ivf = IVFIndex(
+        centroids=centroids, slabs=slabs, slab_rows=slab_rows,
+        overflow=jnp.zeros((0, 2), jnp.float32),
+        overflow_rows=jnp.zeros((0,), jnp.int32),
+        nprobe=1, spherical=False,
+    )
+    emb = jnp.asarray([[0.5, 0.0], [0.0, 0.2]], jnp.float32)
+    index = IVFDenseIndex(embeddings=emb, n=2, ivf=ivf)
+
+    table = jnp.asarray([[1.0, 0.0]], jnp.float32)  # token 0 -> query [1, 0]
+
+    def encode_fn(params, ids, mask):
+        return jnp.take(params, ids[:, 0], axis=0)
+
+    fn, operands = index.fused_search_fn(encode_fn, 1)
+    vals, idx = fn(table, jnp.zeros((1, 4), jnp.int32), *operands)
+    assert int(np.asarray(idx)[0, 0]) == 0

@@ -145,3 +145,27 @@ def test_dense_index_sharded(mesh):
     ref_v, ref_i = mips_topk_reference(jnp.asarray(queries), jnp.asarray(emb), 7)
     np.testing.assert_array_equal(idx, np.asarray(ref_i))
     assert ids[0][0] == f"d{int(np.asarray(ref_i)[0,0])}"
+
+
+def test_sharded_fully_padded_shards_follow_degenerate_contract(mesh):
+    """n_valid smaller than one shard: the other 7 shards are ALL padding.
+    Their sanitized local row 0 becomes `offset` after globalization — a
+    padded row id that IdMap would map out of range — so the merged output
+    must re-assert the (NEG_INF, row 0) contract."""
+    from proqa_tpu.ops.mips import NEG_INF
+
+    rng = np.random.default_rng(7)
+    n, d, q, k, n_valid = 8 * 16, 32, 4, 12, 5   # only shard 0 has real rows
+    corpus = np.zeros((n, d), np.float32)
+    corpus[:n_valid] = rng.standard_normal((n_valid, d))
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    sv, si = sharded_mips_topk(
+        queries, shard_rows(mesh, jnp.asarray(corpus)), k, mesh, n_valid=n_valid
+    )
+    sv, si = np.asarray(sv), np.asarray(si)
+    rv, ri = mips_topk_reference(queries, jnp.asarray(corpus[:n_valid]), n_valid)
+    np.testing.assert_array_equal(si[:, :n_valid], np.asarray(ri))
+    np.testing.assert_allclose(sv[:, :n_valid], np.asarray(rv), rtol=1e-6)
+    assert (sv[:, n_valid:] <= float(NEG_INF)).all()
+    assert (si[:, n_valid:] == 0).all()          # never a padded row's index
+    assert (si < n_valid).all()
