@@ -558,14 +558,15 @@ def cmd_serve(args):
 
 
 def cmd_convert_hf(args):
-    import torch
-
     from proqa_tpu.models.hf_convert import (
-        bert_params_from_state_dict, retriever_params_from_state_dict, strip_ddp_prefix,
+        bert_params_from_state_dict, load_torch_checkpoint,
+        retriever_params_from_state_dict, strip_ddp_prefix,
     )
 
     cfg = _bert_cfg(args)
-    state = torch.load(args.torch_checkpoint, map_location="cpu")
+    state = load_torch_checkpoint(
+        args.torch_checkpoint, allow_pickle=args.allow_pickle
+    )
     if args.kind == "retriever":
         params = retriever_params_from_state_dict(state, cfg)
     else:
@@ -807,6 +808,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--torch-checkpoint", required=True)
     sp.add_argument("--kind", choices=["bert", "retriever"], default="retriever")
     sp.add_argument("--output", required=True)
+    sp.add_argument("--allow-pickle", action="store_true",
+                    help="permit full unpickling for legacy checkpoints that "
+                         "fail the safe weights-only load (trusted files only)")
     sp.set_defaults(fn=cmd_convert_hf)
 
     sp = sub.add_parser("convert-trec")

@@ -17,9 +17,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from proqa_tpu.index.idmap import IdMap
-from proqa_tpu.ops.mips import mips_topk, pad_queries
+from proqa_tpu.ops.mips import NEG_INF, mips_topk, pad_queries
 from proqa_tpu.parallel.mesh import shard_rows
 from proqa_tpu.parallel.search import sharded_mips_topk
+
+
+def _pad_topk_width(vals, idx, k: int):
+    """Pad an in-graph top-k result out to k columns with the degenerate
+    (NEG_INF, row 0) contract, so fused search always returns the SAME width
+    as the unfused `search` path regardless of corpus size or IVF fill —
+    a fused/unfused width mismatch would hand the jitted train step two
+    batch signatures and a fresh multi-minute remote compile mid-run."""
+    w = vals.shape[1]
+    if w >= k:
+        return vals, idx
+    vals = jnp.pad(vals, ((0, 0), (0, k - w)), constant_values=float(NEG_INF))
+    idx = jnp.pad(idx, ((0, 0), (0, k - w)))  # row 0
+    return vals, idx
 
 
 def _query_mask(ids):
@@ -129,11 +143,13 @@ class DenseIndex:
         if mesh is not None:
             def f(params, ids, emb):
                 q = encode_fn(params, ids, _query_mask(ids)).astype(emb.dtype)
-                return sharded_mips_topk(q, emb, k_eff, mesh, exact=exact, n_valid=n_valid)
+                v, i = sharded_mips_topk(q, emb, k_eff, mesh, exact=exact, n_valid=n_valid)
+                return _pad_topk_width(v, i, k)
         else:
             def f(params, ids, emb):
                 q = encode_fn(params, ids, _query_mask(ids)).astype(emb.dtype)
-                return mips_topk(q, emb, k_eff, exact=exact, n_valid=n_valid)
+                v, i = mips_topk(q, emb, k_eff, exact=exact, n_valid=n_valid)
+                return _pad_topk_width(v, i, k)
         return jax.jit(f), (self.embeddings,)
 
     def search_ids(self, queries, k: int, **kw):
@@ -215,8 +231,11 @@ class IVFDenseIndex(DenseIndex):
 
         def f(params, ids, cent, slabs, srows, over, orows):
             q = encode_fn(params, ids, _query_mask(ids)).astype(slabs.dtype)
-            return _ivf_search(q, cent, slabs, srows, over, orows, k=k_eff,
+            v, i = _ivf_search(q, cent, slabs, srows, over, orows, k=k_eff,
                                nprobe=nprobe, spherical=spherical)
+            # _ivf_search caps its width at nprobe*capacity+overflow, which
+            # can undercut k — pad to the unfused path's full-k contract
+            return _pad_topk_width(v, i, k)
 
         return jax.jit(f), (
             ivf.centroids, ivf.slabs, ivf.slab_rows, ivf.overflow, ivf.overflow_rows,

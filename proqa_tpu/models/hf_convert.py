@@ -93,12 +93,25 @@ def retriever_params_from_state_dict(state: Mapping[str, object], cfg: BertConfi
     }
 
 
-def load_torch_checkpoint(path: str) -> dict:
-    """Load a torch .pt state dict on CPU (host-side only)."""
+def load_torch_checkpoint(path: str, *, allow_pickle: bool = False) -> dict:
+    """Load a torch .pt state dict on CPU (host-side only).
+
+    `weights_only=True` refuses to execute pickled code — plain state dicts
+    (the released checkpoints) need none. A silent fallback to full unpickling
+    would nullify that protection exactly on the inputs it exists for, so the
+    unsafe path requires an explicit opt-in (CLI: --allow-pickle)."""
     import torch
 
     try:
-        # plain state dicts (the released checkpoints) need no pickle code
         return torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
+        if not allow_pickle:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"{path}: weights-only load failed; falling back to full "
+            "unpickling (--allow-pickle). Only do this for trusted files.",
+            stacklevel=2,
+        )
         return torch.load(path, map_location="cpu")

@@ -31,13 +31,13 @@ from proqa_tpu.data.collate import pad_to
 from proqa_tpu.data.docdb import DocDB
 from proqa_tpu.index.dense import DenseIndex
 from proqa_tpu.ops.mips import NEG_INF
-
-# scores at/below this are under-filled-search padding (index contract)
-_PAD_SCORE = float(NEG_INF)
 from proqa_tpu.qa.prepro import hash_question
 from proqa_tpu.text.matching import match_answer_span, normalize
 from proqa_tpu.text.simple import SimpleTokenizer
 from proqa_tpu.text.squad import char_spans_of, find_answer_spans, prepare_context
+
+# scores at/below this are under-filled-search padding (index contract)
+_PAD_SCORE = float(NEG_INF)
 
 
 @dataclasses.dataclass

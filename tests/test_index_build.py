@@ -71,6 +71,10 @@ def test_build_index_stringifies_int_ids(setup, tmp_path):
         dtype=jnp.float32,
     )
     assert index.id_map.rows_to_ids([0, 8]) == ["0", "8"]
+
+
+def test_build_index_roundtrip(setup, tmp_path):
+    """build -> save -> load -> search parity, and search equals brute force."""
     root, cfg, params = setup
     index = build_index(
         params, cfg, str(root / "corpus.jsonl"),

@@ -193,3 +193,52 @@ def test_ivf_fused_search_uses_quantizer_geometry():
     fn, operands = index.fused_search_fn(encode_fn, 1)
     vals, idx = fn(table, jnp.zeros((1, 4), jnp.int32), *operands)
     assert int(np.asarray(idx)[0, 0]) == 0
+
+
+def test_fused_search_pads_to_full_k_width():
+    """Fused search must return the SAME k-column width as the unfused
+    `search` path even when the index cannot fill k (IVF: nprobe*cap+overflow
+    < k; dense: corpus rows < k). A fused/unfused width mismatch would hand
+    the jitted QA train step two batch signatures -> a fresh multi-minute
+    remote compile mid-run. Pad slots follow the (NEG_INF, row 0) contract."""
+    import jax
+
+    from proqa_tpu.index.dense import DenseIndex, IVFDenseIndex
+    from proqa_tpu.index.ivf import IVFIndex
+    from proqa_tpu.ops.mips import NEG_INF
+
+    table = jnp.asarray([[1.0, 0.0]], jnp.float32)  # token 0 -> query [1, 0]
+
+    def encode_fn(params, ids, mask):
+        return jnp.take(params, ids[:, 0], axis=0)
+
+    k = 12  # > both fills below
+    # --- IVF: 2 lists * cap 4 + 0 overflow = 8 < k ---
+    centroids = jnp.asarray([[1.0, 0.0], [0.0, 1.0]], jnp.float32)
+    slabs = jnp.asarray([[[0.5, 0.0]] * 4, [[0.0, 0.2]] * 4], jnp.float32)
+    slab_rows = jnp.asarray([[0, 1, -1, -1], [2, -1, -1, -1]], jnp.int32)
+    ivf = IVFIndex(
+        centroids=centroids, slabs=slabs, slab_rows=slab_rows,
+        overflow=jnp.zeros((0, 2), jnp.float32),
+        overflow_rows=jnp.zeros((0,), jnp.int32),
+        nprobe=2, spherical=True,
+    )
+    emb = jnp.asarray([[0.5, 0.0], [0.4, 0.0], [0.0, 0.2]], jnp.float32)
+    index = IVFDenseIndex(embeddings=emb, n=3, ivf=ivf)
+    fn, operands = index.fused_search_fn(encode_fn, k)
+    vals, idx = fn(table, jnp.zeros((2, 4), jnp.int32), *operands)
+    assert vals.shape == (2, k) and idx.shape == (2, k)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    uv, ui = index.search(np.asarray([[1.0, 0.0]], np.float32), k)
+    assert uv.shape == (1, k)  # unfused contract: same width
+    assert int(idx[0, 0]) == 0 and int(ui[0, 0]) == 0
+    assert (vals[:, 3:] <= float(NEG_INF)).all()
+    assert (idx[:, 3:] == 0).all()
+
+    # --- dense: 3 rows < k ---
+    dense = DenseIndex(embeddings=emb, n=3)
+    fn, operands = dense.fused_search_fn(encode_fn, k)
+    vals, idx = fn(table, jnp.zeros((2, 4), jnp.int32), *operands)
+    assert vals.shape == (2, k) and idx.shape == (2, k)
+    vals = np.asarray(vals)
+    assert (vals[:, 3:] <= float(NEG_INF)).all()

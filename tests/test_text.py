@@ -156,32 +156,51 @@ class TestMatching:
         assert set(spans) == {"1492", "1493"}
 
     def test_simple_tokenizer_re_fallback_parity(self):
-        """The stdlib-re fallback pattern must tokenize NFD text (which the
-        matchers always produce) like the regex-module original: combining
-        marks stay inside words, '_' is its own token, IGNORECASE set."""
-        import re as _stdre
+        """The stdlib-re fallback must tokenize NFD text (which the matchers
+        always produce) like the regex-module original: combining marks stay
+        inside words, '_' is its own token, IGNORECASE set.
+
+        Exercises the SHIPPED fallback: simple.py is re-executed with the
+        `regex` import blocked (it IS importable in this image, so the
+        fallback branch never runs otherwise), not a hand-copied pattern."""
+        import builtins
+        import importlib.util
         import unicodedata
 
         from proqa_tpu.text import simple as _simple
 
-        fallback_src = open(_simple.__file__).read()
-        assert "[^\\W_]" in fallback_src  # fallback exists
-        marks = _simple.__dict__.get("_MARKS")
-        if marks is None:  # regex module was importable: rebuild the fallback
-            marks = "̀-ͯ҃-҉֑-ֽؐ-ؚ" \
-                    "ً-ٰٟۖ-ۜऀ-ः़" \
-                    "ัิ-ฺ็-๎᪰-᫿᷀-᷿" \
-                    "⃐-⃿︠-︯"
-        pat = _stdre.compile(
-            rf"((?:[^\W_]|[{marks}])+)|([^\s])",
-            flags=_stdre.IGNORECASE | _stdre.UNICODE | _stdre.MULTILINE,
+        orig_import = builtins.__import__
+
+        def blocked(name, *a, **k):
+            if name == "regex":
+                raise ImportError("blocked: force the stdlib-re fallback")
+            return orig_import(name, *a, **k)
+
+        spec = importlib.util.spec_from_file_location(
+            "_simple_fallback_under_test", _simple.__file__
         )
-        st = SimpleTokenizer()
+        mod = importlib.util.module_from_spec(spec)
+        import sys
+
+        # dataclasses resolves string annotations via sys.modules[cls.__module__]
+        sys.modules[spec.name] = mod
+        builtins.__import__ = blocked
+        try:
+            spec.loader.exec_module(mod)
+        finally:
+            builtins.__import__ = orig_import
+            sys.modules.pop(spec.name, None)
+        assert mod._re.__name__ == "re"  # the fallback branch actually ran
+
+        st = SimpleTokenizer()           # regex-backed original
+        fb = mod.SimpleTokenizer()       # shipped stdlib-re fallback
         for text in ["naïve café", "foo_bar baz", "hello, world!", "ABC123 ÅΩ"]:
             nfd = unicodedata.normalize("NFD", text)
             want = st.tokenize(nfd).words()
-            got = [m.group() for m in pat.finditer(nfd)]
+            got = fb.tokenize(nfd).words()
             assert got == want, (text, got, want)
+            # span/untokenize machinery agrees too
+            assert fb.tokenize(nfd).untokenize() == st.tokenize(nfd).untokenize()
 
     def test_normalize_nfd(self):
         assert normalize("café") == "café"

@@ -206,6 +206,9 @@ def test_early_stop_writes_fired_countdown_to_meta(tmp_path, cfg):
     )
     meta = json.load(open(tmp_path / "run" / "trainer_meta.json"))
     assert meta["wait"] == 2
+
+
+def test_resume_continues_training(tmp_path, cfg):
     """Full-state resume: a resumed trainer must continue stepping with the
     restored optimizer state (not restart momentum from zero)."""
     mesh = make_mesh(8)
