@@ -104,6 +104,8 @@ def make_qa_server(
                 n = int(req.get("topn", topn))
             except (TypeError, ValueError) as e:
                 return self._send(400, {"error": f"bad alpha/topn: {e}"})
+            if n < 1:
+                return self._send(400, {"error": f"topn must be >= 1, got {n}"})
             try:
                 rows = _answer(questions, a, n)
             except Exception as e:  # pragma: no cover - defensive

@@ -37,6 +37,7 @@ from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from proqa_tpu.text.metrics import exact_match_score, metric_max_over_ground_truths, regex_match_score
 from proqa_tpu.text.squad import get_final_text, wordpieces_to_text
 from proqa_tpu.train import checkpoint as ckpt
+from proqa_tpu.train.meta import read_trainer_meta, write_trainer_meta
 from proqa_tpu.train.optim import apply_gradients, init_train_state, make_optimizer
 from proqa_tpu.utils.logging import AverageMeter, MetricLogger, setup_logger
 from proqa_tpu.utils.profiling import StepTimer, TraceWindow
@@ -405,24 +406,14 @@ class QATrainer:
         ckpt.save_checkpoint(f"{self.tcfg.output_dir}/{name}.msgpack", self.state)
 
     def _write_meta(self, best_em: float, wait: int, epoch: int) -> None:
-        """Loop-progress sidecar next to the checkpoints: without it a resume
-        restores step/params/optimizer but restarts best_em at 0 — the first
-        post-resume eval would overwrite best-model with a worse checkpoint,
-        and wait_step early stopping would restart from scratch."""
-        import os
-
-        with open(os.path.join(self.tcfg.output_dir, "trainer_meta.json"), "w") as f:
-            json.dump({"best_em": best_em, "wait": wait, "epoch": epoch}, f)
+        """Loop-progress sidecar so resume() continues the best-model race,
+        early stopping, and epoch position (semantics: train/meta.py)."""
+        write_trainer_meta(self.tcfg.output_dir, "best_em", best_em, wait, epoch)
 
     def resume(self, path: str):
-        import os
-
         self.state = ckpt.load_checkpoint(path, self.state)
-        meta_path = os.path.join(os.path.dirname(path) or ".", "trainer_meta.json")
-        self._resume_meta = {}
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                self._resume_meta = json.load(f)
+        self._resume_meta = read_trainer_meta(path)
+        if self._resume_meta:
             self.logger.info(f"resumed loop progress: {self._resume_meta}")
 
     def _device_batch(self, net: dict):
@@ -619,10 +610,14 @@ class QATrainer:
                         best_em, wait = em, 0
                     else:
                         wait += 1
-                        if wait == t.wait_step:
+                        # >= not ==: a resume can restore wait already at
+                        # wait_step (countdown fired before the save); an
+                        # equality check would then never trigger again
+                        if wait >= t.wait_step:
                             stop = True
-                            break
                     self._write_meta(best_em, wait, epoch)
+                    if stop:
+                        break
 
             self.logger.info(
                 f"Failed retrieval: {train_sampler.failed_retrieval}/{len(train_sampler)}"
@@ -635,6 +630,12 @@ class QATrainer:
             # per-epoch dumps (train_retrieve_qa.py:257-260) and — unlike any
             # reference checkpoint — is resumable (step + optimizer moments)
             self.save("checkpoint_last")
+            # pair the advanced epoch pointer with the save IMMEDIATELY: a
+            # crash during the (minutes-long) epoch-end predict below would
+            # otherwise leave end-of-epoch weights next to a stale epoch=E
+            # meta, and the resume would re-train the whole epoch.
+            # Re-written after the eval with the updated best/wait.
+            self._write_meta(best_em, wait, epoch + 1)
             em = self.predict(eval_sampler)
             self.metrics.scalar("dev_em", em * 100, int(self.state.step))
             if em > best_em:

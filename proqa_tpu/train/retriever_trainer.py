@@ -25,6 +25,7 @@ from proqa_tpu.models.bert import BertConfig
 from proqa_tpu.models.retriever import init_retriever_params, retriever_forward
 from proqa_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from proqa_tpu.train import checkpoint as ckpt
+from proqa_tpu.train.meta import read_trainer_meta, write_trainer_meta
 from proqa_tpu.train.optim import TrainState, apply_gradients, init_train_state, make_optimizer
 from proqa_tpu.utils.logging import AverageMeter, MetricLogger, setup_logger
 from proqa_tpu.utils.profiling import StepTimer, TraceWindow
@@ -174,26 +175,13 @@ class RetrieverTrainer:
         ckpt.save_checkpoint(f"{self.tcfg.output_dir}/{name}.msgpack", self.state)
 
     def _write_meta(self, best_acc: float, wait: int, epoch: int) -> None:
-        """Loop-progress sidecar (best_acc/wait/epoch) so resume() continues
-        the best-checkpoint race and early stopping instead of restarting
-        them at zero (which could overwrite checkpoint_best with a worse
-        post-resume model)."""
-        import json as _json
-        import os
-
-        with open(os.path.join(self.tcfg.output_dir, "trainer_meta.json"), "w") as f:
-            _json.dump({"best_acc": best_acc, "wait": wait, "epoch": epoch}, f)
+        """Loop-progress sidecar so resume() continues the best-checkpoint
+        race, early stopping, and epoch position (semantics: train/meta.py)."""
+        write_trainer_meta(self.tcfg.output_dir, "best_acc", best_acc, wait, epoch)
 
     def resume(self, path: str):
-        import json as _json
-        import os
-
         self.state = ckpt.load_checkpoint(path, self.state)
-        meta_path = os.path.join(os.path.dirname(path) or ".", "trainer_meta.json")
-        self._resume_meta = {}
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                self._resume_meta = _json.load(f)
+        self._resume_meta = read_trainer_meta(path)
         self.logger.info(
             f"resumed from {path} at step {int(self.state.step)}"
             + (f" with loop progress {self._resume_meta}" if self._resume_meta else "")
@@ -268,7 +256,10 @@ class RetrieverTrainer:
                         best_acc, wait = acc, 0
                     else:
                         wait += 1
-                        if wait == t.wait_step:
+                        # >= not ==: a resume can restore wait already at
+                        # wait_step (countdown fired before the save); an
+                        # equality check would then never trigger again
+                        if wait >= t.wait_step:
                             stop = True
                     # write meta BEFORE any early-stop break: recording
                     # wait = wait_step - 1 would make a resume() restart a
@@ -276,6 +267,12 @@ class RetrieverTrainer:
                     self._write_meta(best_acc, wait, epoch)
                     if stop:
                         break
+            # end-of-epoch: pair a fresh checkpoint_last with an ADVANCED
+            # epoch pointer so a resumed run never re-trains a completed
+            # epoch (and resuming a finished run is a no-op). Mid-epoch eval
+            # writes above keep epoch = E on purpose — see train/meta.py.
+            self.save("checkpoint_last")
+            self._write_meta(best_acc, wait, epoch + 1)
             if stop:
                 break
         tracer.close()

@@ -481,6 +481,9 @@ def test_cli_serve_http(world):
         # never a dropped connection
         assert post("/answer", {"question": "x", "alpha": "high"})[0] == 400
         assert post("/answer", {"question": "x", "topn": None})[0] == 400
+        # out-of-range topn is a 400, not a silently-truncated candidate list
+        assert post("/answer", {"question": "x", "topn": 0})[0] == 400
+        assert post("/answer", {"question": "x", "topn": -1})[0] == 400
         assert post("/answer", 3)[0] == 400
         # GET validates emptiness like POST does
         try:

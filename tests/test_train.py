@@ -234,6 +234,69 @@ def test_resume_continues_training(tmp_path, cfg):
     assert int(t2.state.step) == 4 and np.isfinite(float(m["loss"]))
 
 
+def test_resume_completed_run_is_noop(tmp_path, cfg):
+    """Epoch-end meta writes advance the epoch pointer, so (a) a resumed run
+    never re-trains a completed epoch and (b) resuming a finished run with
+    the same epoch budget trains zero additional steps."""
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=0.0, eval_period=2, save_checkpoints_steps=10_000,
+        num_train_epochs=2, wait_step=100, output_dir=str(tmp_path / "run"),
+        seed=3,
+    )
+    trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    trainer.train(
+        lambda epoch: iter(_toy_batches(cfg, 2, 16)),
+        lambda: iter(_toy_batches(cfg, 1, 16, seed=7)),
+    )
+    steps = int(trainer.state.step)
+    assert steps == 4  # 2 epochs x 2 batches
+    meta = json.load(open(tmp_path / "run" / "trainer_meta.json"))
+    assert meta["epoch"] == 2  # pointer advanced past the final epoch
+
+    t2 = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    t2.resume(str(tmp_path / "run" / "checkpoint_last.msgpack"))
+    t2.train(
+        lambda epoch: iter(_toy_batches(cfg, 2, 16)),
+        lambda: iter(_toy_batches(cfg, 1, 16, seed=7)),
+    )
+    assert int(t2.state.step) == steps  # no epoch re-trained
+
+
+def test_resume_with_fired_countdown_stops_at_first_eval(tmp_path, cfg):
+    """A resume can restore wait already AT wait_step (the countdown fired
+    before the stop was saved). The eval check must be >=, not ==: with ==
+    the first post-resume non-improving eval pushes wait past wait_step and
+    early stopping never triggers again."""
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=0.0, eval_period=1, save_checkpoints_steps=10_000,
+        num_train_epochs=1, wait_step=2, output_dir=str(tmp_path / "run"),
+        seed=2,
+    )
+    trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    trainer.train(
+        lambda epoch: iter(_toy_batches(cfg, 8, 16)),
+        lambda: iter(_toy_batches(cfg, 1, 16, seed=7)),
+    )
+    steps = int(trainer.state.step)
+    meta = json.load(open(tmp_path / "run" / "trainer_meta.json"))
+    assert meta["wait"] == 2  # countdown fired
+
+    import dataclasses
+
+    tcfg2 = dataclasses.replace(tcfg, num_train_epochs=3)
+    t2 = RetrieverTrainer(cfg, tcfg2, mesh=mesh)
+    t2.resume(str(tmp_path / "run" / "checkpoint_last.msgpack"))
+    t2.train(
+        lambda epoch: iter(_toy_batches(cfg, 8, 16)),
+        lambda: iter(_toy_batches(cfg, 1, 16, seed=7)),
+    )
+    # lr=0: accuracy never improves, so the very first eval (1 step in) must
+    # stop the run — not 2 more epochs of non-improving training
+    assert int(t2.state.step) == steps + 1
+
+
 def test_trace_window_boundaries_and_failure_tolerance(monkeypatch):
     """TraceWindow traces exactly `steps` iterations after `skip` warm-up
     ones, closes idempotently, and a failing profiler disables the window

@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 def main():
     import jax
+
+    if os.environ.get("TINY"):
+        # env vars are too late (axon sitecustomize imports jax first) —
+        # force the local CPU before any backend query or TINY still pays
+        # remote TPU compiles through the tunnel
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from proqa_tpu.models.bert import BertConfig
