@@ -25,15 +25,24 @@ META_NAME = "trainer_meta.json"
 
 def write_trainer_meta(output_dir: str, metric_key: str, best: float,
                        wait: int, epoch: int) -> None:
-    """Atomic-enough single-json write of {metric_key, wait, epoch}."""
-    with open(os.path.join(output_dir, META_NAME), "w") as f:
+    """Atomic write (temp + rename) of {metric_key, wait, epoch}."""
+    path = os.path.join(output_dir, META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({metric_key: best, "wait": wait, "epoch": epoch}, f)
+    os.replace(tmp, path)
 
 
 def read_trainer_meta(checkpoint_path: str) -> dict:
-    """Meta next to a checkpoint file; {} when absent (pre-meta runs)."""
+    """Meta next to a checkpoint file; {} when absent (pre-meta runs) or
+    unreadable (a crash can leave a truncated file from pre-atomic writers;
+    resuming with default loop state is safe — it only risks re-evaluating,
+    never losing weights)."""
     path = os.path.join(os.path.dirname(checkpoint_path) or ".", META_NAME)
     if not os.path.exists(path):
         return {}
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return {}

@@ -2,6 +2,7 @@
 tiny end-to-end contrastive training run on the 8-device mesh that must
 actually learn."""
 import json
+import os
 
 import numpy as np
 import pytest
@@ -163,7 +164,6 @@ def test_trainer_full_loop_with_early_stop(tmp_path, cfg):
     eval_b = _toy_batches(cfg, 2, 16, seed=7)
     best = trainer.train(lambda epoch: iter(train_b), lambda: iter(eval_b))
     assert 0.0 <= best <= 1.0
-    import os
     assert os.path.exists(tmp_path / "run" / "checkpoint_last.msgpack")
     assert os.path.exists(tmp_path / "run" / "checkpoint_best.msgpack")
     assert os.path.exists(tmp_path / "run" / "checkpoint_4.msgpack")
@@ -295,6 +295,22 @@ def test_resume_with_fired_countdown_stops_at_first_eval(tmp_path, cfg):
     # lr=0: accuracy never improves, so the very first eval (1 step in) must
     # stop the run — not 2 more epochs of non-improving training
     assert int(t2.state.step) == steps + 1
+
+
+def test_trainer_meta_atomic_write_and_corrupt_read(tmp_path):
+    """write_trainer_meta must leave no partial file visible (temp+rename),
+    and read_trainer_meta must treat a truncated/corrupt sidecar as absent
+    (default loop state) instead of raising and blocking the resume."""
+    from proqa_tpu.train.meta import META_NAME, read_trainer_meta, write_trainer_meta
+
+    write_trainer_meta(str(tmp_path), "best_acc", 0.5, 1, 3)
+    assert not os.path.exists(tmp_path / (META_NAME + ".tmp"))
+    meta = read_trainer_meta(str(tmp_path / "checkpoint_last.msgpack"))
+    assert meta == {"best_acc": 0.5, "wait": 1, "epoch": 3}
+
+    # simulate a crash mid-write from a pre-atomic writer
+    (tmp_path / META_NAME).write_text('{"best_acc": 0.5, "wa')
+    assert read_trainer_meta(str(tmp_path / "checkpoint_last.msgpack")) == {}
 
 
 def test_trace_window_boundaries_and_failure_tolerance(monkeypatch):
