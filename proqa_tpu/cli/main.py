@@ -446,7 +446,9 @@ def _qa_setup(args):
     trainer = QATrainer(cfg, qcfg, tcfg, params=params)
 
     db = DocDB(args.db)
-    index = DenseIndex.load(args.index, mesh=_index_mesh(args))
+    # dtype=cfg.dtype: --f32 must reach the index too (bit-reproducible
+    # parity runs score in f32 end-to-end, like eval-retrieval/retrieve do)
+    index = DenseIndex.load(args.index, mesh=_index_mesh(args), dtype=cfg.dtype)
     if args.use_ivf:
         # reference online-QA retrieval config (IVF nlist=100, nprobe=20)
         index = index.to_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
@@ -536,16 +538,24 @@ def cmd_serve(args):
     """HTTP QA serving: model + device-resident index + compiled dispatches
     stay warm across requests (serving.py; the reference has no serving
     layer, SURVEY §1)."""
-    from proqa_tpu.serving import make_qa_server
+    from proqa_tpu.serving import IndexUpdater, make_qa_server
 
     trainer, make_sampler = _qa_setup(args)
     if args.warmup:
         # pay jit compiles before accepting traffic
         trainer.answer(make_sampler([{"question": args.warmup}]),
                        alpha=args.alpha, topn=args.topn)
+    # live /add + /remove: mutations need the unsharded dense index (the
+    # sampler closure holds it; reconstruct the handles the same way)
+    sampler_probe = make_sampler([])
+    updater = IndexUpdater(
+        trainer, _tokenizer(args), sampler_probe.db, sampler_probe.index,
+        max_seq_length=args.max_seq_length,
+    )
     server = make_qa_server(
         trainer, make_sampler, host=args.host, port=args.port,
         alpha=args.alpha, topn=args.topn, logger=trainer.logger,
+        updater=updater,
     )
     host, port = server.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}/answer"}), flush=True)
@@ -631,8 +641,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--adam-eps", type=float, default=1e-8)
     sp.add_argument("--accumulate-gradients", type=int, default=1)
     sp.add_argument("--num-train-epochs", type=int, default=100)
-    sp.add_argument("--eval-period", type=int, default=2500)
-    sp.add_argument("--save-checkpoints-steps", type=int, default=20000)
+    sp.add_argument("--eval-period", type=int, default=2500,
+                    help="steps between dev evals; <=0: epoch end only")
+    sp.add_argument("--save-checkpoints-steps", type=int, default=20000,
+                    help="steps between numbered checkpoints; <=0: none")
     sp.add_argument("--wait-step", type=int, default=100)
     sp.add_argument("--warmup-steps", type=int, default=0)
     sp.add_argument("--filter", action="store_true")

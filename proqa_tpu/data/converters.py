@@ -49,13 +49,21 @@ def trec_extract_labels(qrels_tsv: str, queries_tsv: str, output: str) -> int:
                 continue
             qid2ground[int(parts[0])].append(int(parts[2]))
 
-    n = 0
+    n = skipped = 0
     with open(output, "w") as g:
         for qid, labels in qid2ground.items():
+            if qid not in qid2query:
+                # qrels routinely judge qids outside a subset/split query
+                # file — skip them instead of aborting mid-write
+                skipped += 1
+                continue
             g.write(json.dumps({
                 "question": qid2query[qid], "labels": labels, "qid": qid,
             }) + "\n")
             n += 1
+    if skipped:
+        print(f"trec_extract_labels: skipped {skipped} judged qids absent "
+              f"from the queries file")
     return n
 
 

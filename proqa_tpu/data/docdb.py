@@ -63,6 +63,29 @@ class DocDB:
         cursor.close()
         return n
 
+    def add_docs(self, docs) -> None:
+        """Upsert (id, text) pairs — the serving-time /add path. Clears the
+        text cache so a replaced id can't serve its stale text."""
+        conn = self._conn()
+        conn.executemany(
+            "INSERT OR REPLACE INTO documents VALUES (?, ?)", list(docs)
+        )
+        conn.commit()
+        self._get_cached.cache_clear()
+
+    def remove_docs(self, doc_ids) -> int:
+        """Delete stored texts (the serving-time /remove path); returns the
+        number of rows deleted."""
+        conn = self._conn()
+        cur = conn.executemany(
+            "DELETE FROM documents WHERE id = ?", [(i,) for i in doc_ids]
+        )
+        conn.commit()
+        n = cur.rowcount
+        cur.close()
+        self._get_cached.cache_clear()
+        return max(n, 0)
+
     @classmethod
     def create(cls, db_path: str, docs) -> "DocDB":
         """Build a store from an iterable of (id, text) pairs."""

@@ -6,11 +6,25 @@ eval_retrieval.py:102-104, online_sampler.py:75-79) with device-resident
 search. On-disk format stays reference-compatible: a float `.npy` embedding
 matrix plus `idx_id.json` (IdMap), so indexes are interchangeable with the
 reference pipeline's artifacts.
+
+Beyond the reference (whose pipeline rebuilds indexes offline), a serving
+index supports INCREMENTAL updates — `add` / `remove_rows` / `remove_ids` /
+`compact` (FAISS `IndexFlat.add` / `remove_ids` parity):
+
+* add appends in place into the zero-padded capacity tail (a donated
+  dynamic_update_slice — no full-corpus copy until capacity is exceeded,
+  then geometric growth);
+* removal is an exact tombstone scheme: searches over-fetch k + #deleted
+  and filter on the host, so results equal a rebuilt index bit-for-bit at
+  any deletion count (compact() when tombstones accumulate);
+* every mutation bumps `version`, which consumers key their compiled-fn
+  caches on (QATrainer's fused encode+search cache) so a stale jit can
+  never serve a pre-mutation corpus.
 """
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +50,22 @@ def _pad_topk_width(vals, idx, k: int):
     return vals, idx
 
 
+# Donated in-place row write (incremental add): the destination buffer is
+# consumed, so an add never holds two full corpus copies in HBM. The start
+# row is TRACED (one compiled program per (buffer, rows) shape pair, however
+# many adds happen). Callers guarantee start + rows fits — XLA would
+# otherwise clamp the start and silently overwrite live rows.
+_place_rows_jit = jax.jit(
+    lambda buf, rows, start: jax.lax.dynamic_update_slice(buf, rows, (start, 0)),
+    donate_argnums=0,
+)
+
+
+def _place_rows(buf, rows, start: int):
+    assert start + rows.shape[0] <= buf.shape[0]
+    return _place_rows_jit(buf, rows, jnp.int32(start))
+
+
 def _query_mask(ids):
     """Attention mask derived on device: (ids != 0), with position 0 forced
     on so batch-pad rows (all zeros) attend [CLS] only instead of nothing.
@@ -51,13 +81,19 @@ class DenseIndex:
     n: int                         # true row count (<= N_padded)
     id_map: IdMap | None = None
     mesh: object | None = None     # jax.sharding.Mesh when sharded
+    version: int = 0               # bumped by add/remove; cache-invalidation key
+    _deleted: np.ndarray = field(default=None, repr=False)  # sorted tombstone rows
 
     @property
     def dim(self) -> int:
         return self.embeddings.shape[1]
 
     def __len__(self) -> int:
-        return self.n
+        return self.n - self.n_deleted
+
+    @property
+    def n_deleted(self) -> int:
+        return 0 if self._deleted is None else int(self._deleted.size)
 
     # ---------------- construction ----------------
 
@@ -96,12 +132,138 @@ class DenseIndex:
             arr = jax.device_put(arr)
         return cls(embeddings=arr, n=n, id_map=id_map, mesh=mesh)
 
+    # ---------------- incremental updates (serving) ----------------
+
+    _PAD_MULTIPLE = 1024
+
+    def add(self, embeddings, ids=None) -> None:
+        """Append rows in place (serving-time incremental updates; the
+        reference pipeline only ever rebuilds offline). The write is a
+        donated `dynamic_update_slice` into the zero-padded capacity tail —
+        no O(corpus) copy unless capacity is exceeded, then geometric (1.5x)
+        growth. New-row counts are padded to power-of-two buckets so repeated
+        small adds reuse a handful of compiled update programs (remote
+        compiles through the tunnel are expensive).
+
+        Not supported on mesh-sharded indexes (row resharding is a rebuild:
+        use from_embeddings(mesh=...)) or through an IVF view (slab layout
+        is build-time: mutate the dense index, then re-run to_ivf)."""
+        if self.mesh is not None:
+            raise ValueError(
+                "incremental add on a mesh-sharded index is not supported — "
+                "rebuild with DenseIndex.from_embeddings(..., mesh=mesh)"
+            )
+        new = np.asarray(embeddings, np.float32)
+        if new.ndim != 2 or new.shape[1] != self.dim:
+            raise ValueError(f"expected [m, {self.dim}] rows, got {new.shape}")
+        m = new.shape[0]
+        if (ids is None) != (self.id_map is None):
+            raise ValueError(
+                "ids must be passed iff the index has an id map "
+                f"(has map: {self.id_map is not None})"
+            )
+        if ids is not None:
+            ids = list(ids)
+            if len(ids) != m:
+                raise ValueError(f"{m} rows but {len(ids)} ids")
+        if m == 0:
+            return
+        # bucket the write width so repeated adds share compiled programs;
+        # the bucket tail rewrites zeros over the (all-zero) capacity tail
+        mp = 1
+        while mp < m:
+            mp *= 2
+        cap = self.embeddings.shape[0]
+        if self.n + mp > cap:
+            new_cap = max(self.n + mp, cap + cap // 2)
+            new_cap += (-new_cap) % self._PAD_MULTIPLE
+            buf = jnp.zeros((new_cap, self.dim), self.embeddings.dtype)
+            self.embeddings = _place_rows(buf, self.embeddings, 0)
+        padded = np.zeros((mp, self.dim), np.float32)
+        padded[:m] = new
+        self.embeddings = _place_rows(
+            self.embeddings,
+            jnp.asarray(padded, self.embeddings.dtype),
+            self.n,
+        )
+        self.n += m
+        if ids is not None:
+            self.id_map.extend(ids)
+        self.version += 1
+
+    def remove_rows(self, rows) -> int:
+        """Tombstone index rows (exact: searches over-fetch and filter, so
+        results equal a rebuilt index — see class docstring). Returns the
+        number of NEWLY deleted rows. compact() reclaims the space."""
+        if self.mesh is not None:
+            raise ValueError("incremental removal on a mesh-sharded index "
+                             "is not supported")
+        rows = np.unique(np.asarray(rows, np.int64))
+        if rows.size and (rows[0] < 0 or rows[-1] >= self.n):
+            raise ValueError(f"row out of range [0, {self.n})")
+        merged = rows if self._deleted is None else np.union1d(self._deleted, rows)
+        newly = int(merged.size) - self.n_deleted
+        if newly == 0:
+            return 0
+        self._deleted = merged
+        self.version += 1
+        return newly
+
+    def remove_ids(self, doc_ids) -> int:
+        """Tombstone every row carrying any of the given doc ids (FAISS
+        remove_ids parity; duplicated ids tombstone all their rows)."""
+        assert self.id_map is not None, "index has no id map"
+        return self.remove_rows(self.id_map.ids_to_rows(doc_ids))
+
+    def compact(self) -> "DenseIndex":
+        """Rebuild without tombstoned rows (fresh row numbering). Returns a
+        NEW index; the old one stays valid. O(corpus) — amortize over many
+        removals."""
+        keep = np.arange(self.n)
+        if self.n_deleted:
+            keep = np.setdiff1d(keep, self._deleted)
+        host = np.asarray(
+            jnp.take(self.embeddings, jnp.asarray(keep), axis=0, mode="clip")
+        )
+        id_map = None
+        if self.id_map is not None:
+            id_map = IdMap([self.id_map[int(i)] for i in keep])
+        return DenseIndex.from_embeddings(
+            host, id_map, mesh=self.mesh, dtype=self.embeddings.dtype
+        )
+
+    def _filter_deleted(self, vals: np.ndarray, idx: np.ndarray, k: int):
+        """Drop tombstoned rows from host top-(k+d) results, keeping the
+        first k survivors per query (order-preserving), padding any
+        under-filled tail with the (NEG_INF, row 0) degenerate contract."""
+        keep_mask = ~np.isin(idx, self._deleted)
+        out_v = np.full((vals.shape[0], k), -np.inf, np.float32)
+        out_i = np.zeros((idx.shape[0], k), idx.dtype)
+        for r in range(vals.shape[0]):
+            cols = np.nonzero(keep_mask[r])[0][:k]
+            out_v[r, : cols.size] = vals[r, cols]
+            out_i[r, : cols.size] = idx[r, cols]
+        return out_v, out_i
+
     # ---------------- search ----------------
 
-    def search(self, queries, k: int, *, exact: bool = True, q_pad: int = 256, **kw):
+    def search(self, queries, k: int, *, exact: bool = True, q_pad: int = 256,
+               _skip_tombstones: bool = False, **kw):
         """Top-k rows by inner product. queries: [Q, D] host or device array.
-        Returns (values [Q, k] f32 np, indices [Q, k] i32 np), padded rows and
-        padded queries excluded."""
+        Returns (values [Q, k] f32 np, indices [Q, k] i32 np), padded rows,
+        padded queries, and tombstoned (removed) rows excluded."""
+        if self.n_deleted and not _skip_tombstones:
+            # exact tombstone semantics: over-fetch so that even if every
+            # deleted row outscored the true top-k, k live rows survive the
+            # host filter. The fetch width is bucketed (next power of two)
+            # so accumulating deletions don't compile a fresh top-k width
+            # per removal.
+            k_fetch = min(self.n, 1 << max(k + self.n_deleted - 1, 1).bit_length())
+            vals, idx = self.search(
+                queries, k_fetch, exact=exact, q_pad=q_pad,
+                _skip_tombstones=True, **kw,
+            )
+            return self._filter_deleted(vals, idx, k)
         q = jnp.asarray(queries, dtype=self.embeddings.dtype)
         q, q_n = pad_queries(q, q_pad)
         k_eff = min(k, self.n)
@@ -136,6 +298,12 @@ class DenseIndex:
         remote compile payload.
         """
         del q_count  # dense search has no host-side chunking to respect
+        if self.n_deleted:
+            # tombstoned rows need the host-side over-fetch + filter of
+            # .search — no single-dispatch fused program expresses that.
+            # Callers treat None as "use the two-dispatch path" (which
+            # filters); compact() restores fusion.
+            return None
         k_eff = min(k, self.n)
         n_valid = self.n
         mesh = self.mesh
@@ -161,13 +329,24 @@ class DenseIndex:
         return vals, idx, ids
 
     def take(self, rows) -> np.ndarray:
-        """Gather embedding rows (e.g. para_embed for the QA rank head)."""
-        return np.asarray(jnp.take(self.embeddings, jnp.asarray(rows), axis=0), np.float32)
+        """Gather embedding rows (e.g. para_embed for the QA rank head).
+        mode="clip": -1 padding slots (under-filled retrieval) gather row 0,
+        matching the host path's np.maximum(rows, 0) — default jnp.take
+        wraps -1 to the LAST row instead."""
+        return np.asarray(
+            jnp.take(self.embeddings, jnp.asarray(rows), axis=0, mode="clip"),
+            np.float32,
+        )
 
     # ---------------- persistence (reference-compatible) ----------------
 
     def save(self, path: str) -> None:
-        """Writes `<path>/embeddings.npy` (f32, unpadded) + `<path>/idx_id.json`."""
+        """Writes `<path>/embeddings.npy` (f32, unpadded) + `<path>/idx_id.json`.
+        Tombstoned rows are compacted away (the artifact is always clean;
+        row numbering restarts, like a FAISS rebuild)."""
+        if self.n_deleted:
+            self.compact().save(path)
+            return
         os.makedirs(path, exist_ok=True)
         host = np.asarray(self.embeddings[: self.n], dtype=np.float32)
         np.save(os.path.join(path, "embeddings.npy"), host)
@@ -194,6 +373,12 @@ class DenseIndex:
         qa/online_sampler.py:75-79)."""
         from proqa_tpu.index.ivf import build_ivf
 
+        if self.n_deleted:
+            raise ValueError(
+                "index has tombstoned rows — compact() before to_ivf() so "
+                "the slab layout can't serve removed paragraphs"
+            )
+
         host = np.asarray(self.embeddings[: self.n], np.float32)
         ivf = build_ivf(host, nlist=nlist, nprobe=nprobe, niter=niter, seed=seed,
                         dtype=self.embeddings.dtype, **kw)
@@ -210,6 +395,18 @@ class IVFDenseIndex(DenseIndex):
     the dense matrix for embedding gathers (`take`) and persistence."""
 
     ivf: object = None
+
+    def add(self, embeddings, ids=None) -> None:
+        raise ValueError(
+            "IVF slab layout is build-time: mutate the dense index, then "
+            "re-run to_ivf()"
+        )
+
+    def remove_rows(self, rows) -> int:
+        raise ValueError(
+            "IVF slab layout is build-time: mutate the dense index, then "
+            "re-run to_ivf()"
+        )
 
     def fused_search_fn(self, encode_fn, k: int, *, exact: bool = False,
                         q_count: int | None = None):

@@ -130,8 +130,9 @@ def _ivf_search(q, centroids, slabs, slab_rows, overflow, overflow_rows, *, k,
     idx = jnp.take_along_axis(rows, sel, axis=1)
     # When the probed clusters + overflow hold fewer than k real rows, the
     # tail selects -1 padding slots. -1 must never escape: Python indexing
-    # maps it to the LAST doc (IdMap) and jnp.take clips it to row 0 (the
-    # para_rows gather). Match DenseIndex's degenerate contract instead:
+    # maps it to the LAST doc (IdMap) and jnp.take wraps it to the last row
+    # unless every consumer remembers mode="clip". Match DenseIndex's
+    # degenerate contract instead:
     # row 0 with a NEG_INF score, which no score-ranking consumer can pick
     # ahead of a real candidate.
     invalid = idx < 0

@@ -255,7 +255,11 @@ def bert_encoder(
             "an explicit dropout_rng (pass deterministic=True for inference)"
         )
         dropout_rng = jax.random.PRNGKey(0)  # unused: dropout rates are 0
-    x = _dropout(x, cfg.hidden_dropout, dropout_rng, deterministic)
+    # split BEFORE use: consuming dropout_rng for the embedding mask AND as
+    # the parent of the per-layer keys would correlate the embedding mask
+    # with the layer masks (same counter stream under threefry)
+    emb_rng, dropout_rng = jax.random.split(dropout_rng)
+    x = _dropout(x, cfg.hidden_dropout, emb_rng, deterministic)
 
     # Additive attention bias in fp32: 0 where attended, -1e30 where masked.
     mask_bias = jnp.where(attention_mask[:, None, None, :] != 0, 0.0, -1e30).astype(jnp.float32)

@@ -136,7 +136,13 @@ def qa_forward(
     if "para_embed" in batch:
         para_embed = batch["para_embed"]
     else:
-        para_embed = jnp.take(batch["corpus_emb"], batch["para_rows"], axis=0)
+        # mode="clip" is the padding contract: under-filled retrieval slots
+        # travel as row -1 (qa/sampler.py _retrieve) and must gather row 0,
+        # matching the host path's np.maximum(rows, 0). Default jnp.take
+        # WRAPS -1 to the last row (and NaN-fills true out-of-bounds).
+        para_embed = jnp.take(
+            batch["corpus_emb"], batch["para_rows"], axis=0, mode="clip"
+        )
     rank_logits = jnp.einsum(
         "bd,bmd->bm", q_embed, para_embed.astype(q_embed.dtype),
         preferred_element_type=jnp.float32,

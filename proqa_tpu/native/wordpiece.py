@@ -163,7 +163,11 @@ class NativeWordpiece:
             lowmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         self._id_to_token = {i: t for t, i in vocab.items()}
-        self._buf = (ctypes.c_int32 * 8192)()
+        # per-THREAD output buffer: one tokenizer instance is shared across
+        # the sampler's worker pool and the train/eval BatchLoader producer
+        # threads — a single shared buffer would let concurrent tokenize
+        # calls overwrite each other's ids mid-read
+        self._tls = threading.local()
         # python fallback for the flagged codepoints
         from proqa_tpu.text.basic import BasicTokenizer
         from proqa_tpu.text.wordpiece import WordpieceTokenizer
@@ -190,13 +194,16 @@ class NativeWordpiece:
             return self._py_tokenize(text)
         if b"\x00" in raw:
             return self._py_tokenize(text)
-        n = self._lib.wp_tokenize(self._handle, raw, self._buf, len(self._buf))
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = self._tls.buf = (ctypes.c_int32 * 8192)()
+        n = self._lib.wp_tokenize(self._handle, raw, buf, len(buf))
         if n < 0:
             return self._py_tokenize(text)
-        if n > len(self._buf):
-            self._buf = (ctypes.c_int32 * (n + 1024))()
-            n = self._lib.wp_tokenize(self._handle, raw, self._buf, len(self._buf))
-        return [self._id_to_token[self._buf[i]] for i in range(n)]
+        if n > len(buf):
+            buf = self._tls.buf = (ctypes.c_int32 * (n + 1024))()
+            n = self._lib.wp_tokenize(self._handle, raw, buf, len(buf))
+        return [self._id_to_token[buf[i]] for i in range(n)]
 
     def prepare(self, text: str):
         """SQuAD prepare_context in one native call (per-call buffers: safe

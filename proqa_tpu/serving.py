@@ -13,9 +13,18 @@ Endpoints:
   GET  /answer?q=<question>  -> answer row (see below)
   POST /answer {"question": ..., "topn"?: int, "alpha"?: float}
   POST /answer {"questions": [...]}   (batched: list of rows)
+  POST /add    {"paras": [{"id": ..., "text": ...}, ...]}   (live updates)
+  POST /remove {"ids": [...]}
 
 Answer row: {"question", "answer", "alpha", "candidates": [{"answer",
 "score", "span_score", "rank_score", "passage"}]}.
+
+/add and /remove mutate the LIVE corpus without a restart or rebuild
+(IndexUpdater → DenseIndex.add / remove_ids + DocDB upserts): new
+paragraphs are tokenized and encoded by the warm context tower and are
+retrievable by the next /answer; removed ones stop being retrievable
+exactly (tombstones — see index/dense.py). The reference has no
+equivalent: its FAISS index is baked offline.
 
 Device dispatches are serialized by a lock: concurrent requests queue on
 the single chip rather than interleaving sampler/cache state.
@@ -27,6 +36,85 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+
+
+class IndexUpdater:
+    """Serving-time corpus mutation: tokenize + encode new paragraph texts
+    with the LIVE context tower, append them to the device index and the
+    DocDB; removals tombstone index rows and delete the stored text.
+
+    Encoding pads row counts to power-of-two buckets at a fixed sequence
+    length, so repeated small /add calls reuse a handful of compiled
+    programs (remote compiles are expensive through the tunnel)."""
+
+    MAX_BATCH = 256  # rows encoded per device dispatch
+
+    def __init__(self, trainer, tokenizer, db, index, max_seq_length: int = 288):
+        import jax
+
+        from proqa_tpu.models.retriever import encode_context
+
+        self.trainer, self.tok, self.db, self.index = trainer, tokenizer, db, index
+        self.max_len = max_seq_length
+        cfg = trainer.cfg
+        self._encode = jax.jit(
+            lambda p, ids, mask: encode_context(p, cfg, ids, mask)
+        )
+
+    def _encode_texts(self, texts: list[str]) -> np.ndarray:
+        out = []
+        for start in range(0, len(texts), self.MAX_BATCH):
+            chunk = texts[start:start + self.MAX_BATCH]
+            rows = [self.tok.encode(t, max_length=self.max_len) for t in chunk]
+            b = len(rows)
+            bp = 1
+            while bp < b:
+                bp *= 2
+            ids = np.zeros((bp, self.max_len), np.int32)
+            mask = np.zeros((bp, self.max_len), np.int32)
+            mask[:, 0] = 1  # pad rows attend [CLS] only (no all-masked rows)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = 1
+            with self.trainer._state_lock:
+                emb = self._encode(
+                    self.trainer.state.params["retriever"], ids, mask
+                )
+            out.append(np.asarray(emb, np.float32)[:b])
+        return np.concatenate(out)
+
+    def add(self, paras: list[dict]) -> int:
+        """paras: [{"id": ..., "text": ...}]. Returns rows added. Raises
+        ValueError on malformed input or an unsupported index (sharded/IVF
+        views don't mutate — see DenseIndex.add)."""
+        if not paras or not all(
+            isinstance(p, dict) and p.get("text") and "id" in p for p in paras
+        ):
+            raise ValueError("paras must be [{'id': ..., 'text': ...}, ...]")
+        if self.index.id_map is None:
+            raise ValueError("index has no idx_id.json — live updates need "
+                             "the row<->doc-id map")
+        ids = [str(p["id"]) for p in paras]
+        texts = [str(p["text"]) for p in paras]
+        emb = self._encode_texts(texts)
+        self.index.add(emb, ids=ids)
+        self.db.add_docs(zip(ids, texts))
+        return len(ids)
+
+    def remove(self, doc_ids: list) -> int:
+        """Tombstones every index row carrying the given doc ids and deletes
+        the stored texts. Returns rows removed."""
+        if not doc_ids or not all(isinstance(i, (str, int)) for i in doc_ids):
+            raise ValueError("ids must be a non-empty list of doc ids")
+        if self.index.id_map is None:
+            raise ValueError("index has no idx_id.json — live updates need "
+                             "the row<->doc-id map")
+        doc_ids = [str(i) for i in doc_ids]
+        n = self.index.remove_ids(doc_ids)
+        self.db.remove_docs(doc_ids)
+        return n
+
 
 def make_qa_server(
     trainer,
@@ -36,6 +124,7 @@ def make_qa_server(
     alpha: float = 0.8,
     topn: int = 3,
     logger=None,
+    updater: IndexUpdater | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server. Call .serve_forever() to run; tests use
     port=0 for an ephemeral port and .shutdown() from another thread."""
@@ -78,7 +167,7 @@ def make_qa_server(
 
         def do_POST(self):
             url = urlparse(self.path)
-            if url.path != "/answer":
+            if url.path not in ("/answer", "/add", "/remove"):
                 return self._send(404, {"error": f"no route {url.path}"})
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -87,6 +176,26 @@ def make_qa_server(
                 return self._send(400, {"error": f"bad json: {e}"})
             if not isinstance(req, dict):
                 return self._send(400, {"error": "body must be a json object"})
+            if url.path in ("/add", "/remove"):
+                if updater is None:
+                    return self._send(
+                        400, {"error": "live index updates are not enabled "
+                                       "on this server (no updater)"}
+                    )
+                try:
+                    with lock:  # mutations share the device lock with /answer
+                        if url.path == "/add":
+                            n = updater.add(req.get("paras"))
+                            out = {"added": n}
+                        else:
+                            n = updater.remove(req.get("ids"))
+                            out = {"removed": n}
+                        out["index_rows"] = len(updater.index)
+                except ValueError as e:
+                    return self._send(400, {"error": str(e)})
+                except Exception as e:  # pragma: no cover - defensive
+                    return self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return self._send(200, out)
             if "question" in req:
                 questions, single = [req["question"]], True
             elif "questions" in req and isinstance(req["questions"], list):

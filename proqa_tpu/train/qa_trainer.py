@@ -228,10 +228,15 @@ class QATrainer:
         """Register the dense index whose device-resident embeddings the
         train step gathers para_embed from (para_rows batches). Called
         automatically by train(); needed before driving _train_step manually
-        with sampler batches."""
-        self._corpus_emb = index.embeddings
+        with sampler batches. The index (not its buffer) is stored, so an
+        incremental index.add() is picked up by the next step."""
+        self._corpus_index = index
+        self._corpus_emb = index.embeddings  # back-compat for probes/tools
 
     def _train_step(self, state, batch, rng):
+        idx = getattr(self, "_corpus_index", None)
+        if idx is not None:
+            self._corpus_emb = idx.embeddings
         emb = self._corpus_emb if "para_rows" in batch else None
         if "para_rows" in batch and emb is None:
             raise ValueError(
@@ -329,11 +334,25 @@ class QATrainer:
         the entry; only _FUSED_MAX_FAILURES consecutive failures disable the
         fused path for that key."""
         ids = np.asarray(ids)
-        key = (id(index), int(k), bool(exact), ids.shape)
+        # version in the key: an incremental add/remove (DenseIndex.add)
+        # replaces the embeddings buffer / changes n — a pre-mutation fused
+        # program must never serve the old corpus
+        version = getattr(index, "version", 0)
+        key = (id(index), version, int(k), bool(exact), ids.shape)
         cached = self._fused_cache.get(key)
         if cached is not None and cached[0]() is not index:
             cached = None  # id reused by a different (or rebuilt) index
         if cached is None:
+            # drop stale-version entries of this index so the cache doesn't
+            # pin pre-mutation device buffers (the operands tuple holds the
+            # old embeddings array)
+            stale = [
+                kk for kk in self._fused_cache
+                if kk[0] == id(index) and kk[1] != version
+                and self._fused_cache[kk][0]() is index
+            ]
+            for kk in stale:
+                del self._fused_cache[kk]
             entry = index.fused_search_fn(
                 self._raw_encode_query, k, exact=exact, q_count=ids.shape[0]
             )

@@ -103,8 +103,9 @@ class RetrieverTrainerConfig:
     adam_eps: float = 1e-8
     accumulate_gradients: int = 1
     num_train_epochs: int = 100
-    eval_period: int = 2500
-    save_checkpoints_steps: int = 20000
+    eval_period: int = 2500        # <= 0: eval at epoch end only (the QA
+                                   # trainer's -1 convention)
+    save_checkpoints_steps: int = 20000  # <= 0: no periodic step checkpoints
     wait_step: int = 100
     warmup_steps: int = 0
     total_steps: int | None = None
@@ -215,6 +216,34 @@ class RetrieverTrainer:
         meter = AverageMeter()
         timer = StepTimer()
         tracer = TraceWindow(t.profile_dir, steps=t.profile_steps, logger=self.logger)
+
+        def run_eval(epoch: int) -> None:
+            """One dev evaluation + best/early-stop bookkeeping; shared by
+            the mid-epoch (eval_period > 0) and epoch-end (<= 0) paths."""
+            nonlocal best_acc, wait, stop
+            step = int(self.state.step)
+            acc = self.evaluate(eval_batches_fn())
+            ts = timer.summary()
+            self.logger.info(
+                f"Step {step} Train loss {meter.avg:.2f} Acc {acc*100:.2f} "
+                f"epoch={epoch} {ts.get('steps_per_s', 0):.2f} steps/s"
+            )
+            self.metrics.scalar("dev_acc", acc * 100, step)
+            if ts:
+                self.metrics.scalar("step_p50_ms", ts["p50_s"] * 1e3, step)
+                self.metrics.scalar("steps_per_s", ts["steps_per_s"], step)
+            self.save("checkpoint_last")
+            if acc > best_acc:
+                self.save("checkpoint_best")
+                best_acc, wait = acc, 0
+            else:
+                wait += 1
+                # >= not ==: a resume can restore wait already at
+                # wait_step (countdown fired before the save); an
+                # equality check would then never trigger again
+                if wait >= t.wait_step:
+                    stop = True
+
         for epoch in range(start_epoch, t.num_train_epochs):
             for batch in train_batches_fn(epoch):
                 tracer.tick()
@@ -237,36 +266,21 @@ class RetrieverTrainer:
                 self.metrics.scalar("train_loss", loss, step)
                 self.metrics.scalar("smoothed_train_loss", meter.avg, step)
 
-                if step % t.save_checkpoints_steps == 0:
+                if t.save_checkpoints_steps > 0 and step % t.save_checkpoints_steps == 0:
                     self.save(f"checkpoint_{step}")
-                if step % t.eval_period == 0:
-                    acc = self.evaluate(eval_batches_fn())
-                    ts = timer.summary()
-                    self.logger.info(
-                        f"Step {step} Train loss {meter.avg:.2f} Acc {acc*100:.2f} "
-                        f"epoch={epoch} {ts.get('steps_per_s', 0):.2f} steps/s"
-                    )
-                    self.metrics.scalar("dev_acc", acc * 100, step)
-                    if ts:
-                        self.metrics.scalar("step_p50_ms", ts["p50_s"] * 1e3, step)
-                        self.metrics.scalar("steps_per_s", ts["steps_per_s"], step)
-                    self.save("checkpoint_last")
-                    if acc > best_acc:
-                        self.save("checkpoint_best")
-                        best_acc, wait = acc, 0
-                    else:
-                        wait += 1
-                        # >= not ==: a resume can restore wait already at
-                        # wait_step (countdown fired before the save); an
-                        # equality check would then never trigger again
-                        if wait >= t.wait_step:
-                            stop = True
+                # eval_period <= 0 means epoch-end-only eval (the QA
+                # trainer's -1 convention) — a raw `step % -1 == 0` is true
+                # EVERY step and 0 divides by zero
+                if t.eval_period > 0 and step % t.eval_period == 0:
+                    run_eval(epoch)
                     # write meta BEFORE any early-stop break: recording
                     # wait = wait_step - 1 would make a resume() restart a
                     # countdown that had already fired
                     self._write_meta(best_acc, wait, epoch)
                     if stop:
                         break
+            if not stop and t.eval_period <= 0:
+                run_eval(epoch)
             # end-of-epoch: pair a fresh checkpoint_last with an ADVANCED
             # epoch pointer so a resumed run never re-trains a completed
             # epoch (and resuming a finished run is a no-op). Mid-epoch eval

@@ -435,7 +435,13 @@ def test_cli_serve_http(world):
         "--topn", "2",
     ])
     trainer, make_sampler = _qa_setup(args)
-    server = make_qa_server(trainer, make_sampler, port=0, topn=2)
+    from proqa_tpu.serving import IndexUpdater
+
+    probe = make_sampler([])
+    updater = IndexUpdater(trainer, probe.tokenizer, probe.db, probe.index,
+                           max_seq_length=64)
+    server = make_qa_server(trainer, make_sampler, port=0, topn=2,
+                            updater=updater)
     host, port = server.server_address[:2]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -497,6 +503,39 @@ def test_cli_serve_http(world):
         except urllib.error.HTTPError as e:
             status, err = e.code, json.loads(e.read())
         assert status == 404 and "no route" in err["error"]
+
+        # ---- live index updates: /add then /remove, no restart ----
+        idx = updater.index
+        rows_before = len(idx)
+        new_text = "tok50 tok51 tok52 tok53 tok54"
+        status, out = post("/add", {"paras": [{"id": "live0", "text": new_text}]})
+        assert status == 200 and out["added"] == 1
+        assert out["index_rows"] == rows_before + 1 and len(idx) == rows_before + 1
+        assert probe.db.get_doc_text("live0") == new_text
+        # the new row is exactly self-retrievable through the live index
+        import numpy as np
+        new_emb = np.asarray(idx.take([idx.n - 1]), np.float32)
+        _, top = idx.search(new_emb, 1)
+        assert idx.id_map[int(top[0, 0])] == "live0"
+        # the answer path still serves (fused cache re-keys on the new
+        # index version rather than serving the pre-add corpus)
+        status, row = get("/answer?q=what+is+about+tok50")
+        assert status == 200 and row["candidates"]
+
+        status, out = post("/remove", {"ids": ["live0"]})
+        assert status == 200 and out["removed"] == 1
+        assert len(idx) == rows_before
+        assert probe.db.get_doc_text("live0") is None
+        _, top = idx.search(new_emb, 1)
+        assert idx.id_map[int(top[0, 0])] != "live0"
+        status, row = get("/answer?q=what+is+about+tok3")
+        assert status == 200 and row["candidates"]
+
+        # validation: malformed bodies are 400s, unknown removals count 0
+        assert post("/add", {"paras": []})[0] == 400
+        assert post("/add", {"paras": [{"id": "x"}]})[0] == 400
+        assert post("/remove", {"ids": []})[0] == 400
+        assert post("/remove", {"ids": ["never-there"]})[1]["removed"] == 0
     finally:
         server.shutdown()
         server.server_close()

@@ -35,6 +35,17 @@ def test_trec_extract_labels(tmp_path):
     assert rows[7]["labels"] == [101, 102]
 
 
+def test_trec_extract_labels_skips_unknown_qids(tmp_path):
+    """qrels routinely judge qids outside a subset/split queries file —
+    those rows must be skipped, not abort the conversion with a KeyError."""
+    (tmp_path / "queries.tsv").write_text("7\twhat is x?\n")
+    (tmp_path / "qrels.tsv").write_text("7\t0\t101\t1\n42\t0\t999\t1\n")
+    out = str(tmp_path / "labels.jsonl")
+    n = trec_extract_labels(str(tmp_path / "qrels.tsv"), str(tmp_path / "queries.tsv"), out)
+    rows = [json.loads(l) for l in open(out)]
+    assert n == 1 and len(rows) == 1 and rows[0]["qid"] == 7
+
+
 def test_retrieve_topk_labels(tmp_path):
     rng = np.random.default_rng(0)
     emb = rng.standard_normal((64, 8)).astype(np.float32)

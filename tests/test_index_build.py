@@ -202,3 +202,18 @@ def test_streaming_build_accepts_pair_rows(setup, tmp_path):
         np.load(tmp_path / "mem" / "embeddings.npy"), atol=1e-5,
     )
     assert len(streamed) == len(ref)
+
+
+def test_dense_index_take_clips_negative_rows():
+    """DenseIndex.take must clip -1 padding slots to row 0 (the host-side
+    np.maximum(rows, 0) contract) — default jnp.take would WRAP -1 to the
+    last (zero-pad) row, desynchronizing rank scores from displayed text."""
+    from proqa_tpu.index import DenseIndex
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((10, 8)).astype(np.float32)
+    idx = DenseIndex.from_embeddings(emb, dtype=jnp.float32, pad_multiple=16)
+    got = idx.take(np.asarray([-1, 0, 9], np.int32))
+    np.testing.assert_allclose(got[0], emb[0], rtol=1e-6)
+    np.testing.assert_allclose(got[1], emb[0], rtol=1e-6)
+    np.testing.assert_allclose(got[2], emb[9], rtol=1e-6)

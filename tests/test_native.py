@@ -5,6 +5,7 @@ import random
 import string
 import time
 
+import numpy as np
 import pytest
 
 from proqa_tpu.text.basic import BasicTokenizer
@@ -197,3 +198,29 @@ def test_native_prepare_context_fuzz(pair):
         got = prepare_context(s, native)
         want = _py_prepare(s, pure)
         assert list(got) == list(want), repr(s)
+
+
+def test_native_tokenize_thread_safety(pair):
+    """One tokenizer instance is shared across sampler worker threads and
+    the train/eval BatchLoader producers — concurrent tokenize calls must
+    not corrupt each other (the output buffer is per-thread)."""
+    import concurrent.futures
+
+    native, pure = pair
+    texts = [
+        f"thread safety case {i}: the quick brown fox {i * 37} "
+        + "runs " * (i % 7 + 1) + f"unknowable{i}!"
+        for i in range(48)
+    ]
+    want = [pure.tokenize(t) for t in texts]
+
+    def worker(seed: int):
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(texts))
+        for j in order:
+            got = native.tokenize(texts[j])
+            assert got == want[j], (j, got[:8], want[j][:8])
+        return True
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(worker, range(8)))

@@ -501,7 +501,7 @@ def test_fused_cache_hardening(world, scfg, tmp_path):
     ids = np.array([[2, 5, 6, 3] + [0] * 8, [2, 7, 8, 9, 3] + [0] * 7], np.int32)
     mask = (ids != 0).astype(np.int32)
     index = world["index"]
-    key = (id(index), 7, True, ids.shape)
+    key = (id(index), getattr(index, "version", 0), 7, True, ids.shape)
 
     # (a) stale entry at a reused address: must be rebuilt, never dispatched
     class _Decoy:
@@ -546,11 +546,24 @@ def test_fused_cache_hardening(world, scfg, tmp_path):
         dtype=jnp.float32, pad_multiple=8,
     )
     assert enc.encode_search(ids, mask, tmp_index, 5, True) is not None
-    tkey = (id(tmp_index), 5, True, ids.shape)
+    tkey = (id(tmp_index), tmp_index.version, 5, True, ids.shape)
     assert tkey in trainer._fused_cache
+
+    # (d) an incremental mutation bumps version: the pre-mutation entry is
+    # dropped (its operands pin the OLD embeddings buffer) and a fresh one
+    # serves the post-mutation corpus
+    tmp_index.add(np.asarray(tmp_index.take([0]), np.float32) * 3.0)
+    res2 = enc.encode_search(ids, mask, tmp_index, 5, True)
+    assert res2 is not None
+    tkey2 = (id(tmp_index), tmp_index.version, 5, True, ids.shape)
+    assert tkey2 in trainer._fused_cache and tkey not in trainer._fused_cache
+    embeds = np.asarray(enc(ids, mask), np.float32)
+    _, want_idx = tmp_index.search(embeds, 5, exact=True)
+    np.testing.assert_array_equal(res2[1], want_idx)
+
     del tmp_index
     gc.collect()
-    assert tkey not in trainer._fused_cache
+    assert tkey2 not in trainer._fused_cache
 
 
 def test_packed_batch_step_equivalence(world, scfg, tmp_path):

@@ -245,3 +245,21 @@ def test_para_rows_path_matches_para_embed():
         np.testing.assert_array_equal(
             np.asarray(out_embed[key]), np.asarray(out_rows[key]), err_msg=key
         )
+
+    # -1 padding slots (under-filled retrieval, qa/sampler._retrieve) must
+    # gather row 0 like the host path's np.maximum(rows, 0) — NOT wrap to
+    # the last corpus row (default jnp.take semantics)
+    rows_pad = rows.copy()
+    rows_pad[:, -3:] = -1
+    out_pad = qa_forward(
+        params, cfg, qcfg,
+        {**base, "para_rows": jnp.asarray(rows_pad), "corpus_emb": jnp.asarray(corpus)},
+    )
+    rows_clip = np.maximum(rows_pad, 0)
+    out_clip = qa_forward(
+        params, cfg, qcfg, {**base, "para_embed": jnp.asarray(corpus[rows_clip])}
+    )
+    for key in out_pad:
+        np.testing.assert_array_equal(
+            np.asarray(out_pad[key]), np.asarray(out_clip[key]), err_msg=key
+        )

@@ -297,6 +297,57 @@ def test_resume_with_fired_countdown_stops_at_first_eval(tmp_path, cfg):
     assert int(t2.state.step) == steps + 1
 
 
+def test_trainer_eval_period_epoch_end_only(tmp_path, cfg):
+    """eval_period=-1 (the QA trainer's convention) must mean ONE dev eval
+    per epoch at epoch end — not `step % -1 == 0` (true every step) and not
+    a ZeroDivisionError at 0."""
+    for period in (-1, 0):
+        mesh = make_mesh(8)
+        tcfg = RetrieverTrainerConfig(
+            learning_rate=1e-3, eval_period=period, save_checkpoints_steps=0,
+            num_train_epochs=2, wait_step=100,
+            output_dir=str(tmp_path / f"run{period}"), seed=1,
+        )
+        trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+        calls = []
+        orig = trainer.evaluate
+        trainer.evaluate = lambda it: (calls.append(1), orig(it))[1]
+        train_b = _toy_batches(cfg, 3, 16)
+        eval_b = _toy_batches(cfg, 2, 16, seed=7)
+        best = trainer.train(lambda epoch: iter(train_b), lambda: iter(eval_b))
+        assert len(calls) == 2, (period, len(calls))  # one per epoch
+        assert 0.0 <= best <= 1.0
+        # epoch-end eval still tracks best + writes checkpoint_best
+        assert os.path.exists(tmp_path / f"run{period}" / "checkpoint_best.msgpack")
+        # save_checkpoints_steps=0 must not write per-step checkpoints
+        assert not any(
+            p.name.startswith("checkpoint_") and p.name[11:-8].isdigit()
+            for p in (tmp_path / f"run{period}").iterdir()
+        )
+
+
+def test_trainer_epoch_end_eval_early_stop(tmp_path, cfg):
+    """With eval_period<=0, a non-improving run must still early-stop via
+    the epoch-end evals (wait increments there)."""
+    mesh = make_mesh(8)
+    tcfg = RetrieverTrainerConfig(
+        learning_rate=0.0, eval_period=-1, save_checkpoints_steps=0,
+        num_train_epochs=10, wait_step=2,
+        output_dir=str(tmp_path / "run"), seed=1,
+    )
+    trainer = RetrieverTrainer(cfg, tcfg, mesh=mesh)
+    calls = []
+    orig = trainer.evaluate
+    trainer.evaluate = lambda it: (calls.append(1), orig(it))[1]
+    train_b = _toy_batches(cfg, 2, 16)
+    eval_b = _toy_batches(cfg, 2, 16, seed=7)
+    trainer.train(lambda epoch: iter(train_b), lambda: iter(eval_b))
+    # lr=0: acc never improves after the first eval (identical params), so
+    # the countdown fires after wait_step=2 further epoch-end evals — far
+    # short of the 10 configured epochs (2 if the very first eval reads 0.0)
+    assert len(calls) in (2, 3), len(calls)
+
+
 def test_trainer_meta_atomic_write_and_corrupt_read(tmp_path):
     """write_trainer_meta must leave no partial file visible (temp+rename),
     and read_trainer_meta must treat a truncated/corrupt sidecar as absent
