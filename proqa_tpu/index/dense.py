@@ -14,9 +14,13 @@ index supports INCREMENTAL updates — `add` / `remove_rows` / `remove_ids` /
 * add appends in place into the zero-padded capacity tail (a donated
   dynamic_update_slice — no full-corpus copy until capacity is exceeded,
   then geometric growth);
-* removal is an exact tombstone scheme: searches over-fetch k + #deleted
-  and filter on the host, so results equal a rebuilt index bit-for-bit at
-  any deletion count (compact() when tombstones accumulate);
+* removal is a tombstone scheme: searches over-fetch k + #deleted and
+  filter on the host, so EXACT search results equal a rebuilt index
+  bit-for-bit at any deletion count (compact() when tombstones accumulate).
+  Approximate (exact=False) searches stay approximate: the over-fetch runs
+  the approx kernel at a larger k, whose recall profile differs from an
+  approx search over a compacted rebuild — only removed rows' exclusion is
+  guaranteed, not bit-equality;
 * every mutation bumps `version`, which consumers key their compiled-fn
   caches on (QATrainer's fused encode+search cache) so a stale jit can
   never serve a pre-mutation corpus.
@@ -214,6 +218,17 @@ class DenseIndex:
         remove_ids parity; duplicated ids tombstone all their rows)."""
         assert self.id_map is not None, "index has no id map"
         return self.remove_rows(self.id_map.ids_to_rows(doc_ids))
+
+    def live_rows(self, doc_ids) -> list[int]:
+        """Rows carrying the given doc ids that are NOT tombstoned — the
+        retrievable rows. (IdMap.ids_to_rows is history-blind: after an
+        upsert it also returns the replaced, tombstoned row.)"""
+        assert self.id_map is not None, "index has no id map"
+        rows = self.id_map.ids_to_rows(doc_ids)
+        if self._deleted is None or not rows:
+            return rows
+        mask = ~np.isin(np.asarray(rows, np.int64), self._deleted)
+        return [r for r, live in zip(rows, mask) if live]
 
     def compact(self) -> "DenseIndex":
         """Rebuild without tombstoned rows (fresh row numbering). Returns a

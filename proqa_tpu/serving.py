@@ -85,9 +85,14 @@ class IndexUpdater:
         return np.concatenate(out)
 
     def add(self, paras: list[dict]) -> int:
-        """paras: [{"id": ..., "text": ...}]. Returns rows added. Raises
-        ValueError on malformed input or an unsupported index (sharded/IVF
-        views don't mutate — see DenseIndex.add)."""
+        """paras: [{"id": ..., "text": ...}]. Returns rows added. An id
+        already in the index is REPLACED: its live rows are tombstoned before
+        the new row lands, so the old text's embedding can never rank a
+        candidate that is then displayed as the new text, and no doc id maps
+        to two live rows (upsert — FAISS itself has no id-replace; this
+        matches the DocDB upsert the texts get). Raises ValueError on
+        malformed input, duplicate ids within one request, or an unsupported
+        index (sharded/IVF views don't mutate — see DenseIndex.add)."""
         if not paras or not all(
             isinstance(p, dict) and p.get("text") and "id" in p for p in paras
         ):
@@ -96,23 +101,35 @@ class IndexUpdater:
             raise ValueError("index has no idx_id.json — live updates need "
                              "the row<->doc-id map")
         ids = [str(p["id"]) for p in paras]
+        if len(set(ids)) != len(ids):
+            raise ValueError("duplicate ids within one add request")
         texts = [str(p["text"]) for p in paras]
         emb = self._encode_texts(texts)
-        self.index.add(emb, ids=ids)
+        # DB first: if the index mutation fails mid-way the worst outcome is
+        # an orphan text row, never a retrievable embedding without text
         self.db.add_docs(zip(ids, texts))
+        stale = self.index.live_rows(ids)
+        if stale:
+            self.index.remove_rows(stale)  # replace, don't shadow
+        self.index.add(emb, ids=ids)
         return len(ids)
 
     def remove(self, doc_ids: list) -> int:
         """Tombstones every index row carrying the given doc ids and deletes
-        the stored texts. Returns rows removed."""
+        the stored texts of ids actually present in the index — an id known
+        only to the DocDB keeps its text (a removed=0 response must not
+        silently destroy unrelated stored documents). Returns rows removed."""
         if not doc_ids or not all(isinstance(i, (str, int)) for i in doc_ids):
             raise ValueError("ids must be a non-empty list of doc ids")
         if self.index.id_map is None:
             raise ValueError("index has no idx_id.json — live updates need "
                              "the row<->doc-id map")
         doc_ids = [str(i) for i in doc_ids]
-        n = self.index.remove_ids(doc_ids)
-        self.db.remove_docs(doc_ids)
+        found = [d for d in doc_ids if self.index.live_rows([d])]
+        n = self.index.remove_rows(
+            self.index.live_rows(found)) if found else 0
+        if found:
+            self.db.remove_docs(found)
         return n
 
 

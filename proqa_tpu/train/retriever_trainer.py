@@ -217,10 +217,12 @@ class RetrieverTrainer:
         timer = StepTimer()
         tracer = TraceWindow(t.profile_dir, steps=t.profile_steps, logger=self.logger)
 
+        last_saved_step = -1  # state.step at the latest checkpoint_last write
+
         def run_eval(epoch: int) -> None:
             """One dev evaluation + best/early-stop bookkeeping; shared by
             the mid-epoch (eval_period > 0) and epoch-end (<= 0) paths."""
-            nonlocal best_acc, wait, stop
+            nonlocal best_acc, wait, stop, last_saved_step
             step = int(self.state.step)
             acc = self.evaluate(eval_batches_fn())
             ts = timer.summary()
@@ -233,6 +235,7 @@ class RetrieverTrainer:
                 self.metrics.scalar("step_p50_ms", ts["p50_s"] * 1e3, step)
                 self.metrics.scalar("steps_per_s", ts["steps_per_s"], step)
             self.save("checkpoint_last")
+            last_saved_step = step
             if acc > best_acc:
                 self.save("checkpoint_best")
                 best_acc, wait = acc, 0
@@ -285,7 +288,11 @@ class RetrieverTrainer:
             # epoch pointer so a resumed run never re-trains a completed
             # epoch (and resuming a finished run is a no-op). Mid-epoch eval
             # writes above keep epoch = E on purpose — see train/meta.py.
-            self.save("checkpoint_last")
+            # Skip the write when run_eval just saved this exact step (the
+            # eval_period<=0 path otherwise writes the full checkpoint twice
+            # back-to-back every epoch).
+            if int(self.state.step) != last_saved_step:
+                self.save("checkpoint_last")
             self._write_meta(best_acc, wait, epoch + 1)
             if stop:
                 break
