@@ -313,6 +313,77 @@ def _bench_mips_16m() -> dict:
     }
 
 
+def _bench_mips_33m() -> dict:
+    """Exact MIPS at 33.6M x 128 (8.6 GiB bf16 index — the supported
+    single-chip max, ~1.6x the reference's whole-Wikipedia corpus of ~21M
+    paragraphs which /root/reference/retrieval/eval_retrieval.py:99-104
+    searches exactly). block=64 keeps the stage-1 block-maxima buffer
+    (N/block * Qpad * 4 B) at 4.3 GiB so index + buffer fit 16 GiB HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from proqa_tpu.ops.mips import mips_topk_reference
+    from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
+
+    n33 = 8 * N
+    rng = np.random.default_rng(11)
+    # donated in-place slice updates into ONE preallocated buffer: a
+    # concatenate of live parts would need 2x 8.6 GiB simultaneously
+    place = jax.jit(
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    corpus = jnp.zeros((n33, D), jnp.bfloat16)
+    chunk = n33 // 16
+    for i in range(16):
+        part = jnp.asarray(
+            rng.standard_normal((chunk, D), dtype=np.float32), jnp.bfloat16
+        )
+        corpus = place(corpus, part, jnp.int32(i * chunk))
+        del part
+    queries = jax.device_put(jnp.asarray(
+        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
+    ))
+
+    def search():
+        return mips_topk_pallas_v2(
+            queries, corpus, K, block=64, group=64, tile_q=2048, sub_chunks=4
+        )
+
+    vals, idx = search()
+    np.asarray(idx[:1])
+    depth = 8
+    t0 = time.perf_counter()
+    for _ in range(depth):
+        vals, idx = search()
+    np.asarray(idx)
+    ms = (time.perf_counter() - t0) / depth * 1e3
+
+    sub = 32
+    rv, ri = mips_topk_reference(queries[:sub], corpus, K)
+    got, want = np.asarray(idx[:sub]), np.asarray(ri)
+    recall = float(np.mean(
+        [len(set(got[i]) & set(want[i])) / K for i in range(sub)]
+    ))
+    return {
+        "mips33M_ms_amortized": round(ms, 2),
+        "mips33M_qps": round(Q / ms * 1e3, 1),
+        "mips33M_self_recall": round(recall, 4),
+    }
+
+
+def _bench_serve() -> dict:
+    """Warm QA serving latency (p50/p95 per /answer request) on the shared
+    qa_world — the `proqa serve` steady-state path (round-3 VERDICT weak #4:
+    driver-track serving so the /answer path can't silently regress)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import serve_latency
+
+    return serve_latency.measure()
+
+
 def _bench_train_step() -> dict:
     """Retriever contrastive train step at the round-1 headline operating
     point: 80 pairs, 32-tok queries / 512-tok paragraphs, remat + flash."""
@@ -355,7 +426,19 @@ def _bench_train_step() -> dict:
         state, m = step(state, batch, jax.random.fold_in(key, i))
         float(m["loss"])
         times.append(time.perf_counter() - t0)
+    # amortized: back-to-back dispatches, force only the last — separates
+    # compute from the tunnel's per-dispatch sync the way the MIPS headline
+    # does (round-3 VERDICT weak #3: don't mix dispatch overhead into a
+    # compute metric). Real training overlaps dispatch with the next host
+    # step, so this is also the deployed-throughput number.
+    depth = 12
+    t0 = time.perf_counter()
+    for i in range(depth):
+        state, m = step(state, batch, jax.random.fold_in(key, 200 + i))
+    float(m["loss"])
+    amortized = (time.perf_counter() - t0) / depth
     return {"train_step_ms": round(float(np.median(times)) * 1e3, 1),
+            "train_step_ms_amortized": round(amortized * 1e3, 1),
             "train_shape": f"{b}x({tq}q+{tc}c)"}
 
 
@@ -449,8 +532,9 @@ def main() -> None:
 
     if not os.environ.get("BENCH_FAST"):
         subs = (
-            _bench_mips_16m, _bench_encode, _bench_encode_bucketed,
-            _bench_train_step, _bench_qa_step, _bench_qa_wall,
+            _bench_mips_16m, _bench_mips_33m, _bench_encode,
+            _bench_encode_bucketed, _bench_train_step, _bench_qa_step,
+            _bench_qa_wall, _bench_serve,
         )
         for sub in subs:
             try:

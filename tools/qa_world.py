@@ -22,9 +22,13 @@ VOCAB_WORDS = 2000
 EMBED_DIM = 128
 
 
-def build_qa_world(dtype=None):
+def build_qa_world(dtype=None, n_paras: int = N_PARAS,
+                   n_questions: int = N_QUESTIONS, gold_every: int = 2):
     """Returns dict(root, db, tok, index, qa_path, vocab_path, n_paras).
-    `dtype` is the index dtype (default bfloat16)."""
+    `dtype` is the index dtype (default bfloat16). The defaults are the
+    frozen bench world (don't change them — ROADMAP numbers compare across
+    tools); `gold_every`/`n_paras` overrides exist for probes that need
+    sparse gold (e.g. the IVF retention A/B, tools/qa_ivf_ab.py)."""
     import jax.numpy as jnp
 
     from proqa_tpu.data.docdb import DocDB
@@ -36,16 +40,16 @@ def build_qa_world(dtype=None):
     words = [f"tok{i}" for i in range(VOCAB_WORDS)]
     prng = pyrandom.Random(0)
     paras = []
-    for i in range(N_PARAS):
+    for i in range(n_paras):
         ws = [prng.choice(words) for _ in range(PARA_WORDS)]
-        if i % 2 == 0:
+        if i % gold_every == 0:
             j = prng.randrange(len(ws) - 2)
             ws[j : j + 2] = ["tok1", "tok2"]
         paras.append((f"p{i}", " ".join(ws)))
     DocDB.create(os.path.join(root, "docs.db"), paras).close()
     qa_path = os.path.join(root, "qa.jsonl")
     with open(qa_path, "w") as f:
-        for _ in range(N_QUESTIONS):
+        for _ in range(n_questions):
             f.write(json.dumps({
                 "question": " ".join(prng.choice(words) for _ in range(6)),
                 "answer": ["tok1 tok2"],

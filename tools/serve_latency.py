@@ -23,14 +23,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def main():
+def measure(w=None, tiny: bool = False, n_questions: int = 24) -> dict:
+    """Warm per-question /answer latency dict (p50/p95/mean) on qa_world.
+    Importable by bench.py so the driver-tracked serving numbers and this
+    tool measure the identical workload."""
     import jax
-
-    if os.environ.get("TINY"):
-        # env vars are too late (axon sitecustomize imports jax first) —
-        # force the local CPU before any backend query or TINY still pays
-        # remote TPU compiles through the tunnel
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from proqa_tpu.models.bert import BertConfig
@@ -40,12 +37,13 @@ def main():
     from qa_world import build_qa_world
 
     jax.config.update("jax_default_prng_impl", "rbg")
-    w = build_qa_world()
+    if w is None:
+        w = build_qa_world()
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = BertConfig(dtype=jnp.bfloat16, remat=True, flash_attention=on_tpu)
     L, qL, cand = 512, 30, 5000
-    if os.environ.get("TINY"):  # CPU smoke: TINY=1 python tools/serve_latency.py
+    if tiny:  # CPU smoke: TINY=1 python tools/serve_latency.py
         cfg = BertConfig.tiny(dtype=jnp.float32)
         L, qL, cand = 64, 12, 64
     scfg = OnlineSamplerConfig(
@@ -66,7 +64,7 @@ def main():
         )
         return trainer.answer(sampler, topn=1)
 
-    qs = [f"what is tok{i} about tok{i+1}" for i in range(24)]
+    qs = [f"what is tok{i} about tok{i+1}" for i in range(n_questions)]
     ask(qs[0])  # compiles
     ask(qs[1])  # first warm loop reads high — throw away
     lat = []
@@ -76,12 +74,23 @@ def main():
         lat.append((time.perf_counter() - t0) * 1e3)
         assert rows and rows[0]["answer"] is not None
     lat = np.asarray(lat)
-    print("FINAL", json.dumps({
+    return {
         "serve_p50_ms": round(float(np.percentile(lat, 50)), 1),
         "serve_p95_ms": round(float(np.percentile(lat, 95)), 1),
         "serve_mean_ms": round(float(lat.mean()), 1),
         "n": len(lat),
-    }))
+    }
+
+
+def main():
+    import jax
+
+    if os.environ.get("TINY"):
+        # env vars are too late (axon sitecustomize imports jax first) —
+        # force the local CPU before any backend query or TINY still pays
+        # remote TPU compiles through the tunnel
+        jax.config.update("jax_platforms", "cpu")
+    print("FINAL", json.dumps(measure(tiny=bool(os.environ.get("TINY")))))
 
 
 if __name__ == "__main__":
