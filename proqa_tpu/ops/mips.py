@@ -126,7 +126,8 @@ def exact_topk(scores: jax.Array, k: int, *, group: int | None = None,
 
 def rescore_block_candidates(
     q_emb: jax.Array, blocks_ids: jax.Array, corpus_blocks: jax.Array, *,
-    k: int, block: int, n_valid, select_fn=None,
+    k: int, block: int, n_valid, select_fn=None, impl: str = "take",
+    scales: jax.Array | None = None, interpret: bool = False,
 ):
     """Phase-2 exact rescore shared by the XLA block-max path and the Pallas
     pipeline (ONE home for the gather/score/pad-mask/select semantics so a
@@ -134,15 +135,35 @@ def rescore_block_candidates(
 
     q_emb [QC, D]; blocks_ids [QC, kb] candidate block ids; corpus_blocks
     [NB, block, D]. Returns (values [QC, k] f32, row indices [QC, k] i32).
+
+    impl: "take" = XLA gather + einsum (materializes [QC, kb, B, D] in HBM);
+    "stream" = Pallas DMA-streaming scorer (ops/pallas_rescore.py — no
+    materialized gather; requires 128 % block == 0, kb % (128//block) == 0,
+    QC % 8 == 0, TPU backend).
+
+    scales: per-row f32 [NB*block] for an int8 corpus (ops/quant.py) —
+    candidate scores are multiplied by their rows' scales before selection.
     """
     if select_fn is None:
         select_fn = exact_topk
     qc, kb = q_emb.shape[0], blocks_ids.shape[1]
-    cand = jnp.take(corpus_blocks, blocks_ids, axis=0)       # [QC, kb, B, D]
-    s = jnp.einsum(
-        "qkbd,qd->qkb", cand.astype(q_emb.dtype), q_emb,
-        preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
-    ).reshape(qc, kb * block)
+    if impl == "stream":
+        assert scales is None, "stream rescore does not support int8 scales"
+        from proqa_tpu.ops.pallas_rescore import gather_rescore
+
+        s = gather_rescore(
+            q_emb, corpus_blocks, blocks_ids, block=block, interpret=interpret
+        )
+    else:
+        cand = jnp.take(corpus_blocks, blocks_ids, axis=0)   # [QC, kb, B, D]
+        s = jnp.einsum(
+            "qkbd,qd->qkb", cand.astype(q_emb.dtype), q_emb,
+            preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
+        ).reshape(qc, kb * block)
+    if scales is not None:
+        nb = corpus_blocks.shape[0]
+        sc = jnp.take(scales.reshape(nb, block), blocks_ids, axis=0)
+        s = s * sc.reshape(qc, kb * block)
     base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
     flat_idx = base.reshape(qc, kb * block)
     s = jnp.where(flat_idx < n_valid, s, NEG_INF)
@@ -160,12 +181,16 @@ def sanitize_padding(vals: jax.Array, idx: jax.Array):
     return jnp.where(invalid, NEG_INF, vals), jnp.where(invalid, 0, idx)
 
 
-def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int, *, n_valid: int | None = None):
+def mips_topk_reference(queries: jax.Array, corpus: jax.Array, k: int, *,
+                        n_valid: int | None = None,
+                        scales: jax.Array | None = None):
     """Naive full-score top-k. Ground truth for tests; fine for small N.
     n_valid: true row count when the corpus is pre-padded (padded rows are
     never returned: k > n_valid tails follow the (NEG_INF, row 0) degenerate
-    contract)."""
+    contract). scales: per-row f32 for an int8 corpus (ops/quant.py)."""
     scores = _scores(queries, corpus)
+    if scales is not None:
+        scores = scores * scales[None, :]
     if n_valid is not None:
         scores = _mask_padding(scores, n_valid)
         vals, idx = jax.lax.top_k(scores, k)
@@ -188,6 +213,7 @@ def mips_topk_blockmax(
     q_chunk: int = 256,
     exact_blocks: bool = True,
     n_valid: int | None = None,
+    scales: jax.Array | None = None,
 ):
     """Exact two-phase block-max MIPS top-k (the default search path).
 
@@ -197,12 +223,15 @@ def mips_topk_blockmax(
     exact_blocks: select top-kb blocks with exact lax.top_k over [Q, N/B]
                   (guaranteed); False uses approx_max_k (faster at large N/B,
                   recall ~0.998 at the block level).
+    scales:       per-row f32 [N] for an int8 corpus (ops/quant.py).
     """
     q, d = queries.shape
     corpus, n_unpadded = _pad_rows(corpus, block)
     if n_valid is None:
         n_valid = n_unpadded
     n = corpus.shape[0]
+    if scales is not None and scales.shape[0] < n:
+        scales = jnp.pad(scales, ((0, n - scales.shape[0]),), constant_values=1.0)
     nb = n // block
     if kb is None:
         kb = max(k, min(128, nb))
@@ -211,7 +240,9 @@ def mips_topk_blockmax(
 
     # ---- phase 1: block maxima, fused into the scoring matmul ----
     scores = _scores(queries, corpus)              # [Q, N] (not materialized:
-    scores = _mask_padding(scores, n_valid)        #  reduced in the epilogue)
+    if scales is not None:                         #  reduced in the epilogue)
+        scores = scores * scales[None, :]
+    scores = _mask_padding(scores, n_valid)
     bmax = jnp.max(scores.reshape(q, nb, block), axis=-1)
 
     if exact_blocks:
@@ -227,7 +258,8 @@ def mips_topk_blockmax(
     def chunk_topk(args):
         q_emb, blocks_ids = args                   # [QC, D], [QC, kb]
         return rescore_block_candidates(
-            q_emb, blocks_ids, corpus_blocks, k=k, block=block, n_valid=n_valid
+            q_emb, blocks_ids, corpus_blocks, k=k, block=block,
+            n_valid=n_valid, scales=scales,
         )
 
     if q <= q_chunk:
@@ -248,6 +280,7 @@ def mips_topk_chunked_approx(
     chunk: int = 1 << 19,
     recall_target: float = 0.99,
     n_valid: int | None = None,
+    scales: jax.Array | None = None,
 ):
     """Streaming approximate top-k for large k (e.g. the QA trainer's top-5000
     candidate retrieval, reference qa/online_sampler.py:113 — which itself uses
@@ -258,6 +291,7 @@ def mips_topk_chunked_approx(
     merge paid a [Q, 2k]-wide indexed top_k EVERY chunk — at k=5000 that is
     8 sorts past the ~5k-width VMEM cliff; measured 196 ms at [32, 4.2M]).
     Memory: O(Q * (chunk + nchunk*k)); never materializes [Q, N].
+    scales: per-row f32 [N] for an int8 corpus, applied per chunk.
     """
     q, d = queries.shape
     # don't pad small corpora up to a huge chunk
@@ -266,19 +300,25 @@ def mips_topk_chunked_approx(
     if n_valid is None:
         n_valid = n_unpadded
     n = corpus.shape[0]
+    if scales is not None and scales.shape[0] < n:
+        scales = jnp.pad(scales, ((0, n - scales.shape[0]),), constant_values=1.0)
     nchunk = n // chunk
     corpus_chunks = corpus.reshape(nchunk, chunk, d)
+    scale_chunks = (jnp.zeros((nchunk, 0), jnp.float32) if scales is None
+                    else scales.astype(jnp.float32).reshape(nchunk, chunk))
     k_local = min(k, chunk)
 
     def body(_, inp):
-        blk, off = inp
+        blk, sc, off = inp
         s = _scores(queries, blk)
+        if scales is not None:
+            s = s * sc[None, :]
         s = jnp.where((off + jnp.arange(chunk))[None, :] < n_valid, s, NEG_INF)
         v, i = jax.lax.approx_max_k(s, k_local, recall_target=recall_target)
         return None, (v, i.astype(jnp.int32) + off)
 
     offs = (jnp.arange(nchunk, dtype=jnp.int32)) * chunk
-    _, (cv, ci) = jax.lax.scan(body, None, (corpus_chunks, offs))
+    _, (cv, ci) = jax.lax.scan(body, None, (corpus_chunks, scale_chunks, offs))
     cv = jnp.moveaxis(cv, 0, 1).reshape(q, nchunk * k_local)
     ci = jnp.moveaxis(ci, 0, 1).reshape(q, nchunk * k_local)
     if cv.shape[1] < k:  # degenerate small-corpus call: keep k output cols
@@ -292,7 +332,8 @@ def mips_topk_chunked_approx(
 
 def mips_topk(
     queries: jax.Array, corpus: jax.Array, k: int, *,
-    exact: bool = True, n_valid: int | None = None, **kw,
+    exact: bool = True, n_valid: int | None = None,
+    scales: jax.Array | None = None, **kw,
 ):
     """Dispatch to the right search strategy for (k, N).
 
@@ -302,7 +343,8 @@ def mips_topk(
     (recall >= ~0.99, cf. the reference's IVF nprobe=20) — requesting
     exact=True with k > 512 warns, since the flag cannot be honored. n_valid
     masks pre-padded corpus rows; it may be a traced scalar (per-shard counts
-    in the sharded search).
+    in the sharded search). scales: per-row f32 for an int8-quantized corpus
+    (ops/quant.py) — results are exact w.r.t. the scaled quantized scores.
     """
     n = corpus.shape[0]
     if exact and k > 512 and n > 4096 and n > 4 * k:
@@ -317,7 +359,9 @@ def mips_topk(
     # naive path only while a full [Q, N] top_k is cheap (XLA TopK degrades
     # fast: ~56ms at [2048, 65536] on v5e)
     if n <= 4096 or n <= 4 * k:
-        return mips_topk_reference(queries, corpus, min(k, n), n_valid=n_valid)
+        return mips_topk_reference(
+            queries, corpus, min(k, n), n_valid=n_valid, scales=scales
+        )
     if exact and k <= 512:
         q = queries.shape[0]
         d = queries.shape[1]
@@ -344,15 +388,19 @@ def mips_topk(
                 block *= 2
             vals, idx = mips_topk_pallas_v2(
                 queries, corpus, k, block=block, group=2048 // block,
-                tile_q=tile_q, sub_chunks=4, n_valid=n_valid,
+                tile_q=tile_q, sub_chunks=4, n_valid=n_valid, scales=scales,
             )
             vals, idx = vals[:q], idx[:q]
             if n_valid is not None:
                 vals, idx = sanitize_padding(vals, idx)
             return vals, idx
-        vals, idx = mips_topk_blockmax(queries, corpus, k, n_valid=n_valid, **kw)
+        vals, idx = mips_topk_blockmax(
+            queries, corpus, k, n_valid=n_valid, scales=scales, **kw
+        )
     else:
-        vals, idx = mips_topk_chunked_approx(queries, corpus, k, n_valid=n_valid, **kw)
+        vals, idx = mips_topk_chunked_approx(
+            queries, corpus, k, n_valid=n_valid, scales=scales, **kw
+        )
     if n_valid is not None:
         vals, idx = sanitize_padding(vals, idx)
     return vals, idx

@@ -85,14 +85,33 @@ def _bmax3_kernel(qt_ref, c_ref, b3_ref, g_ref, *, block, tq, group, sub):
     scheduler can overlap one chain's VPU max-reduce with the next chain's
     MXU dot (phase ablation: the reduce is ~4.4 us/step serialized after the
     ~11 us dot — ~40% of kernel time at sub=1)."""
+    _bmax3_body(qt_ref, c_ref, None, b3_ref, g_ref,
+                block=block, tq=tq, group=group, sub=sub)
+
+
+def _bmax3_kernel_scaled(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *,
+                         block, tq, group, sub):
+    """int8-corpus variant: rows convert int8 -> query dtype (lossless in
+    bf16: integers <= 256 are exact) and the per-row scale multiplies the
+    score matrix BEFORE the block max-reduce, so the emitted maxima are true
+    quantized-score maxima (ops/quant.py). The extra VPU multiply rides the
+    same sub-chunk interleave that already hides the max-reduce behind the
+    next MXU dot."""
+    _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref,
+                block=block, tq=tq, group=group, sub=sub)
+
+
+def _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *, block, tq, group, sub):
     outs = []
     rows = group * block
     step = rows // sub
     for i in range(sub):
         s = jnp.dot(
-            c_ref[i * step : (i + 1) * step], qt_ref[:],
+            c_ref[i * step : (i + 1) * step].astype(qt_ref.dtype), qt_ref[:],
             preferred_element_type=jnp.float32,
         )                                                   # [rows/sub, TQ]
+        if sc_ref is not None:
+            s = s * sc_ref[i * step : (i + 1) * step]       # [step, 1] bcast
         outs.append(jnp.max(s.reshape(step // block, block, tq), axis=1))
     bm = outs[0] if sub == 1 else jnp.concatenate(outs, axis=0)  # [G, TQ]
     b3_ref[0] = bm.T
@@ -110,6 +129,7 @@ def block_maxima_grouped(
     group: int = 128,
     tile_q: int = 512,
     sub_chunks: int = 1,
+    scales: jax.Array | None = None,   # [N] f32 per-row scales (int8 corpus)
     interpret: bool = False,
 ):
     """Fused scoring + two-level maxima, laid out for cheap per-query
@@ -119,6 +139,9 @@ def block_maxima_grouped(
     The [CG, Q, G] layout makes the select-stage gather bmax3[g, q, :] a
     contiguous-row gather (~free on TPU) instead of the strided column access
     that made the round-1 [NB, Q] layout cost ~20 ms at the headline point.
+
+    With `scales`, the corpus is per-row quantized (ops/quant.py) and the
+    emitted maxima are of the SCALED scores scale_r * (q . c_r).
     """
     q, d = queries.shape
     n, d2 = corpus.shape
@@ -129,18 +152,31 @@ def block_maxima_grouped(
     qt = queries.T
 
     grid = (q // tile_q, cg)
-    kernel = functools.partial(
-        _bmax3_kernel, block=block, tq=tile_q, group=group, sub=sub_chunks
-    )
+    in_specs = [
+        pl.BlockSpec((d, tile_q), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (rows_per_group, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [qt, corpus]
+    if scales is None:
+        kernel = functools.partial(
+            _bmax3_kernel, block=block, tq=tile_q, group=group, sub=sub_chunks
+        )
+    else:
+        assert scales.shape == (n,)
+        kernel = functools.partial(
+            _bmax3_kernel_scaled, block=block, tq=tile_q, group=group,
+            sub=sub_chunks,
+        )
+        in_specs.append(pl.BlockSpec(
+            (rows_per_group, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        ))
+        operands.append(scales.astype(jnp.float32).reshape(n, 1))
     b3, g = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((d, tile_q), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (rows_per_group, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, tile_q, group), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
@@ -159,7 +195,7 @@ def block_maxima_grouped(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qt, corpus)
+    )(*operands)
     return b3, g
 
 
@@ -167,7 +203,7 @@ def block_maxima_grouped(
     jax.jit,
     static_argnames=(
         "k", "block", "group", "kb", "q_chunk", "tile_q", "sub_chunks",
-        "interpret", "fast_select",
+        "interpret", "fast_select", "rescore_impl",
     ),
 )
 def mips_topk_pallas_v2(
@@ -182,8 +218,10 @@ def mips_topk_pallas_v2(
     tile_q: int = 512,
     sub_chunks: int = 1,
     n_valid: int | None = None,
+    scales: jax.Array | None = None,
     interpret: bool = False,
     fast_select: bool | tuple = False,
+    rescore_impl: str = "take",
 ):
     """Exact MIPS top-k. Three stages:
 
@@ -205,6 +243,9 @@ def mips_topk_pallas_v2(
     block whose max exceeds the true k-th score contains a top-k row, so at
     most k of them exist and top-kb (kb >= k) selection visits them all; ties
     can swap equal-valued results only (see ops/mips.exact_topk docstring).
+
+    scales: per-row f32 [N] for an int8-quantized corpus (ops/quant.py) —
+    results are then exact w.r.t. the scaled quantized scores.
     """
     q, d = queries.shape
     n0 = corpus.shape[0]
@@ -214,6 +255,8 @@ def mips_topk_pallas_v2(
     pad = (-n0) % rows_per_group
     if pad:
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        if scales is not None:
+            scales = jnp.pad(scales, ((0, pad),), constant_values=1.0)
     n = corpus.shape[0]
     nb = n // block
     cg = n // rows_per_group
@@ -225,7 +268,7 @@ def mips_topk_pallas_v2(
 
     bmax3, gmax = block_maxima_grouped(
         queries, corpus, block=block, group=group, tile_q=tile_q,
-        sub_chunks=sub_chunks, interpret=interpret,
+        sub_chunks=sub_chunks, scales=scales, interpret=interpret,
     )
 
     static_aligned = isinstance(n_valid, int) and n_valid == n
@@ -244,6 +287,10 @@ def mips_topk_pallas_v2(
                 preferred_element_type=jnp.float32,
                 precision=_precision(queries.dtype),
             )                                               # [Q, block]
+            if scales is not None:
+                s = s * jax.lax.dynamic_slice_in_dim(
+                    scales, sb * block, block, axis=0
+                )[None, :]
             row_valid = (sb * block + jnp.arange(block)) < n_valid
             patched = jnp.max(
                 jnp.where(row_valid[None, :], s, NEG_INF), axis=1
@@ -273,7 +320,8 @@ def mips_topk_pallas_v2(
         q_emb, blocks_ids = args
         return rescore_block_candidates(
             q_emb, blocks_ids, corpus_blocks, k=k, block=block,
-            n_valid=n_valid, select_fn=_sels[2],
+            n_valid=n_valid, select_fn=_sels[2], impl=rescore_impl,
+            scales=scales, interpret=interpret,
         )
 
     if q_chunk is None or q <= q_chunk:

@@ -28,6 +28,7 @@ def sharded_mips_topk(
     *,
     exact: bool = True,
     n_valid: int | None = None,
+    scales: jax.Array | None = None,
     **search_kw,
 ):
     """Global top-k over a row-sharded corpus.
@@ -35,7 +36,8 @@ def sharded_mips_topk(
     queries: [Q, D] (replicated); corpus: [N, D] sharded P('data', None).
     Returns replicated (values [Q, k], indices [Q, k]) with global row ids.
     N must divide evenly by the mesh size (pad the corpus at build time);
-    n_valid masks trailing padded rows by their GLOBAL index.
+    n_valid masks trailing padded rows by their GLOBAL index. scales: [N]
+    per-row f32 for an int8 corpus (ops/quant.py), sharded with the rows.
     """
     n_dev = mesh.shape[DATA_AXIS]
     n = corpus.shape[0]
@@ -46,7 +48,8 @@ def sharded_mips_topk(
     # chip contributes its whole shard and the merge finds the global top-k
     k_local = min(k, local_n)
 
-    def local_search(q, c_local):
+    def local_search(q, c_local, *rest):
+        sc_local = rest[0] if rest else None
         offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * local_n
         if n_valid is not None and n_valid < n:
             # Mask padded rows BEFORE the local top-k: zero-vector pads score
@@ -55,10 +58,12 @@ def sharded_mips_topk(
             # shard. Per-shard valid count is traced from axis_index.
             local_valid = jnp.clip(jnp.int32(n_valid) - offset, 0, local_n)
             vals, idx = mips_topk(
-                q, c_local, k_local, exact=exact, n_valid=local_valid, **search_kw
+                q, c_local, k_local, exact=exact, n_valid=local_valid,
+                scales=sc_local, **search_kw
             )
         else:
-            vals, idx = mips_topk(q, c_local, k_local, exact=exact, **search_kw)
+            vals, idx = mips_topk(q, c_local, k_local, exact=exact,
+                                  scales=sc_local, **search_kw)
         idx = idx + offset
         if n_valid is not None and n_valid < n:
             vals = jnp.where(idx < n_valid, vals, jnp.float32(NEG_INF))
@@ -83,14 +88,20 @@ def sharded_mips_topk(
         # a PADDED global id that IdMap would map out of range
         return sanitize_padding(mv, mi)
 
+    in_specs = (P(), P(DATA_AXIS, None))
+    operands = (queries, corpus)
+    if scales is not None:
+        assert scales.shape == (n,)
+        in_specs += (P(DATA_AXIS),)
+        operands += (scales,)
     fn = shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, None)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, corpus)
+    return fn(*operands)
 
 
 def sharded_matvec_stats(corpus: jax.Array, mesh: Mesh):

@@ -131,3 +131,67 @@ def test_padded_rows_never_returned_when_k_exceeds_valid():
         assert pad[:, 5:].all()             # only 5 real rows exist
         assert (idx[pad] == 0).all()        # never a padded row's index
         assert (idx < 5).all()
+
+
+# ---------------- int8 quantized corpus (round 4, ops/quant.py) ----------------
+
+def test_quantize_roundtrip_and_chunking():
+    from proqa_tpu.ops.quant import dequantize_rows, quantize_rows
+    rng = np.random.default_rng(30)
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    emb *= rng.uniform(0.1, 10.0, (100, 1)).astype(np.float32)  # varied norms
+    emb[7] = 0.0                                                # zero row
+    q8, sc = quantize_rows(emb, chunk=32)                       # ragged chunks
+    assert q8.dtype == np.int8 and sc.dtype == np.float32
+    assert np.abs(q8).max() <= 127 and sc[7] == 1.0
+    deq = dequantize_rows(q8, sc)
+    # per-row error bound: half a quantization step = max|row| / 254
+    bound = np.maximum(np.abs(emb).max(axis=1), 1e-9) / 254 + 1e-7
+    assert (np.abs(deq - emb).max(axis=1) <= bound).all()
+
+
+@pytest.mark.parametrize("path", ["reference", "blockmax", "approx"])
+def test_int8_scales_match_dequantized_search(path):
+    """Every scales-aware search path returns exactly the top-k of the
+    DEQUANTIZED corpus (the scaled quantized scores ARE those scores)."""
+    from proqa_tpu.ops.quant import dequantize_rows, quantize_rows
+    rng = np.random.default_rng(31)
+    n, d, q, k = 3000, 128, 16, 10
+    emb = (rng.standard_normal((n, d)) * rng.uniform(0.5, 2.0, (n, 1))).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    q8, sc = quantize_rows(emb)
+    want_v, want_i = mips_topk_reference(
+        queries, jnp.asarray(dequantize_rows(q8, sc)), k
+    )
+    corp, scj = jnp.asarray(q8), jnp.asarray(sc)
+    if path == "reference":
+        got_v, got_i = mips_topk_reference(queries, corp, k, scales=scj)
+    elif path == "blockmax":
+        got_v, got_i = mips_topk_blockmax(queries, corp, k, block=256, scales=scj)
+    else:
+        got_v, got_i = mips_topk_chunked_approx(queries, corp, k, chunk=1024, scales=scj)
+        # approx: recall >= target rather than equality
+        rec = np.mean([
+            len(set(np.asarray(got_i)[r]) & set(np.asarray(want_i)[r])) / k
+            for r in range(q)
+        ])
+        assert rec >= 0.95
+        return
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_dispatch_small_and_blockmax():
+    """mips_topk threads scales through both the naive and large-N paths."""
+    from proqa_tpu.ops.quant import dequantize_rows, quantize_rows
+    rng = np.random.default_rng(32)
+    for n in (2048, 6000):   # <=4096 naive; >4096 blockmax (cpu backend)
+        emb = (rng.standard_normal((n, 128)) * rng.uniform(0.5, 2.0, (n, 1))).astype(np.float32)
+        queries = jnp.asarray(rng.standard_normal((8, 128)), jnp.float32)
+        q8, sc = quantize_rows(emb)
+        want_v, want_i = mips_topk_reference(
+            queries, jnp.asarray(dequantize_rows(q8, sc)), 7
+        )
+        got_v, got_i = mips_topk(queries, jnp.asarray(q8), 7, scales=jnp.asarray(sc))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))

@@ -182,3 +182,109 @@ def test_mips_topk_pallas_v2_padding_masked():
     )
     assert int(np.max(np.asarray(pi))) < n
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+# ---------------- DMA-streaming phase-2 rescorer (round 4) ----------------
+from proqa_tpu.ops import pallas_rescore
+from proqa_tpu.ops.mips import rescore_block_candidates
+from proqa_tpu.ops.pallas_rescore import gather_rescore
+
+
+def test_gather_rescore_matches_einsum():
+    rng = np.random.default_rng(20)
+    n, d, q, kb, block = 2048, 128, 16, 16, 16
+    corpus = jnp.asarray(rng.standard_normal((n // block, block, d)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n // block, (q, kb)), jnp.int32)
+    out = gather_rescore(queries, corpus, ids, block=block, interpret=True)
+    want = np.einsum(
+        "qkbd,qd->qkb", np.asarray(corpus)[np.asarray(ids)], np.asarray(queries)
+    ).reshape(q, kb * block)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_rescore_query_chunking(monkeypatch):
+    """Q above the SMEM budget splits into chunked pallas_calls (incl. a
+    ragged tail) — shrink the budget so the split is exercised cheaply."""
+    monkeypatch.setattr(pallas_rescore, "_MAX_Q", 16)
+    rng = np.random.default_rng(21)
+    n, d, q, kb, block = 1024, 128, 40, 8, 16   # chunks of 16, 16, 8
+    corpus = jnp.asarray(rng.standard_normal((n // block, block, d)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n // block, (q, kb)), jnp.int32)
+    out = gather_rescore(queries, corpus, ids, block=block, interpret=True)
+    want = np.einsum(
+        "qkbd,qd->qkb", np.asarray(corpus)[np.asarray(ids)], np.asarray(queries)
+    ).reshape(q, kb * block)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_rescore_impl_stream_matches_take():
+    """rescore_block_candidates impl='stream' returns the same top-k values
+    AND indices as the default take+einsum path (pad masking included)."""
+    rng = np.random.default_rng(22)
+    n_valid, d, q, kb, block = 2000, 128, 16, 16, 16
+    nb = 128  # 2048 padded rows; blocks 125..127 straddle/exceed n_valid
+    corpus = np.zeros((nb * block, d), np.float32)
+    corpus[:n_valid] = -np.abs(rng.standard_normal((n_valid, d)))
+    corpus_blocks = jnp.asarray(corpus.reshape(nb, block, d))
+    queries = jnp.asarray(np.abs(rng.standard_normal((q, d))), jnp.float32)
+    ids = jnp.asarray(rng.integers(120, nb, (q, kb)), jnp.int32)  # hit the pad
+    tv, ti = rescore_block_candidates(
+        queries, ids, corpus_blocks, k=8, block=block, n_valid=n_valid
+    )
+    sv, si = rescore_block_candidates(
+        queries, ids, corpus_blocks, k=8, block=block, n_valid=n_valid,
+        impl="stream", interpret=True,
+    )
+    assert int(np.max(np.asarray(si))) < n_valid
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ti))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(tv), rtol=1e-4, atol=1e-4)
+
+
+# ---------------- int8 quantized corpus in the fused kernel (round 4) ----------------
+
+def test_pallas_v2_int8_scales_matches_dequantized():
+    """The scaled kernel (scales multiplied before the block max-reduce) +
+    scaled rescore return exactly the top-k of the dequantized corpus,
+    including ragged-N straddler masking."""
+    from proqa_tpu.ops.quant import dequantize_rows, quantize_rows
+    rng = np.random.default_rng(40)
+    n, d, q, k = 5003, 128, 32, 9      # ragged: pad + straddler block
+    emb = (rng.standard_normal((n, d)) * rng.uniform(0.5, 2.0, (n, 1))).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    q8, sc = quantize_rows(emb)
+    want_v, want_i = mips_topk_reference(
+        queries, jnp.asarray(dequantize_rows(q8, sc)), k
+    )
+    got_v, got_i = mips_topk_pallas_v2(
+        queries, jnp.asarray(q8), k, block=16, group=8, tile_q=32,
+        sub_chunks=2, scales=jnp.asarray(sc), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_block_maxima_grouped_int8_scales():
+    """Kernel-level: scaled block maxima equal numpy maxima of scaled scores."""
+    from proqa_tpu.ops.pallas_mips import block_maxima_grouped
+    from proqa_tpu.ops.quant import quantize_rows
+    rng = np.random.default_rng(41)
+    n, d, q, block, group = 1024, 128, 16, 8, 16
+    emb = (rng.standard_normal((n, d)) * rng.uniform(0.25, 4.0, (n, 1))).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    q8, sc = quantize_rows(emb)
+    b3, g = block_maxima_grouped(
+        queries, jnp.asarray(q8), block=block, group=group, tile_q=16,
+        sub_chunks=2, scales=jnp.asarray(sc), interpret=True,
+    )
+    scores = (np.asarray(queries) @ q8.astype(np.float32).T) * sc[None, :]
+    want = scores.reshape(q, n // block, block).max(-1)        # [Q, NB]
+    cg = n // (block * group)
+    got = np.asarray(b3).transpose(1, 0, 2).reshape(q, cg * group)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g).reshape(cg, q).T,
+        want.reshape(q, cg, group).max(-1), rtol=1e-4, atol=1e-4,
+    )

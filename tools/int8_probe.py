@@ -1,16 +1,16 @@
-"""Probe: XLA-fused dot+blockmax vs the pallas MIPS kernel; bf16 vs int8.
+"""int8-index hardware probe (round 4): does the scaled kernel
+(_bmax3_kernel_scaled: int8 rows -> bf16 convert + per-row scale multiply
+before the block max-reduce) compile on v5e, what does it cost vs the bf16
+pipeline at the headline point, and what recall does the int8 representation
+deliver against the bf16 index's ground truth?
 
-The exact-MIPS pallas kernel computes scores + two-level maxima in situ at
-~92 TF/s effective. Question 1: can plain XLA (dot fused with a reshape
-block-max, never materializing the [Q, N] score matrix) match or beat that?
-Question 2: does int8 buy the ~2x the v5e spec sheet promises?
+Variants interleaved in ONE process (CLAUDE.md: cross-process drift 40%+),
+amortized over back-to-back dispatches:
 
-CAUTION (learned here): a probe consuming only s[i,i] gets the whole matmul
-elided by the slice-of-dot simplifier and reads the dispatch floor. Every
-variant below returns the full [Q, N/block] block-maxima AND a scalar
-checksum depending on all of it; the checksum is what's forced.
+  bf16    mips_topk_pallas_v2 on the bf16 corpus (production headline)
+  int8    mips_topk_pallas_v2(scales=...) on the quantized corpus
 
-Run: python tools/int8_probe.py
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/int8_probe.py
 """
 from __future__ import annotations
 
@@ -19,82 +19,89 @@ import time
 
 import numpy as np
 
-BLOCK = 16
+N, D, Q, K = 4_194_304, 128, 2048, 80
+BLOCK, GROUP, TILE_Q, SUB = 16, 128, 2048, 4
+DEPTH = 8
 
 
-def main() -> None:
+def main():
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
-    Q, D, C, CHUNKS = 2048, 128, 1 << 19, 8  # total N = 4.19M
+    from proqa_tpu.ops.mips import mips_topk_reference
+    from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
+    from proqa_tpu.ops.quant import quantize_rows
+
     rng = np.random.default_rng(0)
-    q = rng.standard_normal((Q, D)).astype(np.float32)
-    chunks = [rng.standard_normal((C, D)).astype(np.float32) for _ in range(CHUNKS)]
+    xb = rng.standard_normal((N, D), dtype=np.float32)
+    q8, sc = quantize_rows(xb)
+    corpus_bf16 = jax.device_put(jnp.asarray(xb, jnp.bfloat16))
+    corpus_i8 = jax.device_put(jnp.asarray(q8))
+    scales = jax.device_put(jnp.asarray(sc))
+    del xb, q8
+    queries = jax.device_put(jnp.asarray(
+        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
+    ))
 
-    q_bf = jnp.asarray(q, jnp.bfloat16)
-    c_bf = [jnp.asarray(c, jnp.bfloat16) for c in chunks]
-    q_i8 = jnp.asarray(np.clip(np.round(q * 40), -127, 127), jnp.int8)
-    c_i8 = [jnp.asarray(np.clip(np.round(c * 40), -127, 127), jnp.int8) for c in chunks]
-
-    def blockmax_bf(qx, *cs):
-        outs = []
-        for cx in cs:
-            s = lax.dot_general(
-                qx, cx, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Q, C]
-            outs.append(s.reshape(Q, C // BLOCK, BLOCK).max(-1))
-        bmax = jnp.concatenate(outs, axis=1)          # [Q, N/BLOCK] f32
-        return bmax, bmax.max()
-
-    def blockmax_i8(qx, *cs):
-        outs = []
-        for cx in cs:
-            s = lax.dot_general(
-                qx, cx, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            outs.append(s.reshape(Q, C // BLOCK, BLOCK).max(-1))
-        bmax = jnp.concatenate(outs, axis=1)          # [Q, N/BLOCK] i32
-        return bmax, bmax.max()
-
-    fns = {
-        "xla_bf16_blockmax": (jax.jit(blockmax_bf), (q_bf, *c_bf)),
-        "xla_int8_blockmax": (jax.jit(blockmax_i8), (q_i8, *c_i8)),
+    variants = {
+        "bf16": lambda: mips_topk_pallas_v2(
+            queries, corpus_bf16, K, block=BLOCK, group=GROUP,
+            tile_q=TILE_Q, sub_chunks=SUB,
+        ),
+        "int8": lambda: mips_topk_pallas_v2(
+            queries, corpus_i8, K, block=BLOCK, group=GROUP,
+            tile_q=TILE_Q, sub_chunks=SUB, scales=scales,
+        ),
     }
 
-    flops = 2 * Q * D * C * CHUNKS
-    out = {}
-    for name, (fn, args) in fns.items():
-        r = fn(*args)
-        np.asarray(r[1])  # compile
-        r = fn(*args)
-        np.asarray(r[1])  # warm
-        reps = 5
+    res = {}
+    outs = {}
+    for name, fn in variants.items():
         t0 = time.perf_counter()
-        for _ in range(reps):
-            r = fn(*args)
-        np.asarray(r[1])
-        dt = (time.perf_counter() - t0) / reps
-        out[name] = {"ms": round(dt * 1e3, 2), "tops": round(flops / dt / 1e12, 1)}
-        print(name, out[name], flush=True)
+        try:
+            v, i = fn()
+            np.asarray(i[:1])
+            res[name + "_compile_s"] = round(time.perf_counter() - t0, 1)
+            for _ in range(4):   # throwaway warm round (first loop reads high)
+                v, i = fn()
+            np.asarray(i)
+            outs[name] = (np.asarray(v), np.asarray(i))
+        except Exception as e:
+            res[name] = f"{type(e).__name__}: {e}"[:300]
+            variants[name] = None
+        print(json.dumps(res), flush=True)
 
-    # reference point: the pallas v2 kernel phase at the same operating point
-    from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
+    rounds = {name: [] for name in variants}
+    for _ in range(3):
+        for name, fn in variants.items():
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            for _ in range(DEPTH):
+                v, i = fn()
+            np.asarray(i)
+            rounds[name].append((time.perf_counter() - t0) / DEPTH * 1e3)
+    for name, ts in rounds.items():
+        if ts:
+            res[name + "_ms"] = round(float(np.median(ts)), 2)
+            res[name + "_all"] = [round(t, 1) for t in ts]
 
-    corpus = jnp.concatenate(c_bf, axis=0)
-    fn = jax.jit(lambda qq, cc: mips_topk_pallas_v2(qq, cc, 80)[0])
-    r = fn(q_bf, corpus); np.asarray(r)
-    r = fn(q_bf, corpus); np.asarray(r)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = fn(q_bf, corpus)
-    np.asarray(r)
-    out["pallas_v2_full_topk"] = {"ms": round((time.perf_counter() - t0) / reps * 1e3, 2)}
-    print("pallas_v2_full_topk", out["pallas_v2_full_topk"], flush=True)
-    print(json.dumps(out))
+    # recall of int8 vs the bf16 pipeline's own results, and both vs an
+    # exact bf16 reference on a query subset
+    if all(v is not None for v in variants.values()):
+        bi, ii = outs["bf16"][1], outs["int8"][1]
+        res["int8_vs_bf16_recall"] = round(float(np.mean(
+            [len(set(ii[r]) & set(bi[r])) / K for r in range(Q)]
+        )), 4)
+        sub = 64
+        _, ri = mips_topk_reference(queries[:sub], corpus_bf16, K)
+        ri = np.asarray(ri)
+        for name in ("bf16", "int8"):
+            gi = outs[name][1]
+            res[name + "_self_recall"] = round(float(np.mean(
+                [len(set(gi[r]) & set(ri[r])) / K for r in range(sub)]
+            )), 4)
+    print("FINAL", json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":
