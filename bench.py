@@ -286,9 +286,11 @@ def _bench_mips_16m() -> dict:
     def search():
         # block=32 here (not the 4.2M-tuned 16): bmax3 is N/block*Q*4 bytes
         # = 4.3 GiB at 16.8M — block=16 would need 8.6 GiB on top of the
-        # 4 GiB corpus and overflow HBM
+        # 4 GiB corpus and overflow HBM. group stays 128 (a narrower G
+        # lane-pads the whole bmax3 buffer); sub_chunks=8 keeps each
+        # dot+reduce chain at 512 rows
         return mips_topk_pallas_v2(
-            queries, corpus, K, block=32, group=64, tile_q=2048, sub_chunks=4
+            queries, corpus, K, block=32, group=128, tile_q=2048, sub_chunks=8
         )
 
     vals, idx = search()
@@ -347,7 +349,8 @@ def _bench_mips_33m() -> dict:
 
     def search():
         return mips_topk_pallas_v2(
-            queries, corpus, K, block=64, group=64, tile_q=2048, sub_chunks=4
+            queries, corpus, K, block=64, group=128, tile_q=2048,
+            sub_chunks=16,
         )
 
     vals, idx = search()
@@ -369,6 +372,93 @@ def _bench_mips_33m() -> dict:
         "mips33M_ms_amortized": round(ms, 2),
         "mips33M_qps": round(Q / ms * 1e3, 1),
         "mips33M_self_recall": round(recall, 4),
+    }
+
+
+def _bench_mips_67m_int8() -> dict:
+    """Exact-in-quantized-scores MIPS at 67.1M x 128 int8 (8.6 GiB index +
+    268 MB scales — the int8 single-chip max, 3.2x the reference's
+    whole-Wikipedia corpus). Per-row scales multiply in-kernel before the
+    block max-reduce (ops/quant.py, --int8-index). block=128 keeps bmax3 at
+    4.3 GiB; q_chunk=256 bounds the rescore gather; ~14.5 GiB total HBM.
+    recall here is vs the same int8 representation searched naively (the
+    exactness contract); int8-vs-bf16 representation recall is measured at
+    4.2M by tools/int8_probe.py where both fit."""
+    import jax
+    import jax.numpy as jnp
+
+    from proqa_tpu.ops.mips import mips_topk_reference
+    from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
+    from proqa_tpu.ops.quant import quantize_rows
+
+    n67 = 16 * N
+    qb = 128                     # quantization block == kernel reduce block
+    rng = np.random.default_rng(13)
+    place = jax.jit(
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    place_s = jax.jit(
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i,)),
+        donate_argnums=0,
+    )
+    corpus = jnp.zeros((n67, D), jnp.int8)
+    scales = jnp.zeros((n67 // qb,), jnp.float32)
+    chunk = n67 // 16            # chunk % qb == 0: blocks never straddle
+    for i in range(16):
+        part = rng.standard_normal((chunk, D), dtype=np.float32)
+        q8, sc = quantize_rows(part, block=qb)
+        del part
+        corpus = place(corpus, jnp.asarray(q8), jnp.int32(i * chunk))
+        scales = place_s(scales, jnp.asarray(sc), jnp.int32(i * chunk // qb))
+        del q8, sc
+    queries = jax.device_put(jnp.asarray(
+        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
+    ))
+
+    def search():
+        return mips_topk_pallas_v2(
+            queries, corpus, K, block=qb, group=128, tile_q=2048,
+            sub_chunks=32, q_chunk=256, scales=scales,
+        )
+
+    vals, idx = search()
+    np.asarray(idx[:1])
+    depth = 6
+    t0 = time.perf_counter()
+    for _ in range(depth):
+        vals, idx = search()
+    np.asarray(idx)
+    ms = (time.perf_counter() - t0) / depth * 1e3
+
+    # exact reference, chunked: a whole-corpus [32, 67M] f32 score matrix
+    # would be 8.6 GiB on top of the index — merge per-chunk exact top-Ks
+    # (global top-K is the top-K of the per-chunk top-Ks)
+    from proqa_tpu.ops.quant import expand_scales
+
+    sub = 32
+    cv, ci = [], []
+    for i in range(16):
+        sc_chunk = jax.lax.dynamic_slice_in_dim(
+            scales, i * chunk // qb, chunk // qb
+        )
+        v, ix = mips_topk_reference(
+            queries[:sub], jax.lax.dynamic_slice_in_dim(corpus, i * chunk, chunk),
+            K, scales=expand_scales(sc_chunk, qb, chunk),
+        )
+        cv.append(np.asarray(v))
+        ci.append(np.asarray(ix) + i * chunk)
+    cat_v, cat_i = np.concatenate(cv, 1), np.concatenate(ci, 1)
+    sel = np.argsort(-cat_v, axis=1)[:, :K]
+    want = np.take_along_axis(cat_i, sel, axis=1)
+    got = np.asarray(idx[:sub])
+    recall = float(np.mean(
+        [len(set(got[i]) & set(want[i])) / K for i in range(sub)]
+    ))
+    return {
+        "mips67M_int8_ms_amortized": round(ms, 2),
+        "mips67M_int8_qps": round(Q / ms * 1e3, 1),
+        "mips67M_int8_self_recall": round(recall, 4),
     }
 
 
@@ -532,9 +622,9 @@ def main() -> None:
 
     if not os.environ.get("BENCH_FAST"):
         subs = (
-            _bench_mips_16m, _bench_mips_33m, _bench_encode,
-            _bench_encode_bucketed, _bench_train_step, _bench_qa_step,
-            _bench_qa_wall, _bench_serve,
+            _bench_mips_16m, _bench_mips_33m, _bench_mips_67m_int8,
+            _bench_encode, _bench_encode_bucketed, _bench_train_step,
+            _bench_qa_step, _bench_qa_wall, _bench_serve,
         )
         for sub in subs:
             try:

@@ -130,7 +130,7 @@ def _shard_index_arg(p):
                    help="shard the index rows over all local devices "
                         "(cross-chip top-k merge over ICI)")
     p.add_argument("--int8-index", action="store_true",
-                   help="store the index per-row int8-quantized: half the "
+                   help="store the index block-int8-quantized: half the "
                         "HBM (67.2M rows/chip at D=128 on 16 GiB), search "
                         "exact w.r.t. the quantized scores")
 

@@ -97,7 +97,8 @@ class DenseIndex:
     id_map: IdMap | None = None
     mesh: object | None = None     # jax.sharding.Mesh when sharded
     version: int = 0               # bumped by add/remove; cache-invalidation key
-    scales: jax.Array = None       # [N_padded] f32 per-row scales (int8 only)
+    scales: jax.Array = None       # [N_padded/quant_block] f32 (int8 only)
+    quant_block: int = 1           # rows per quantization scale (int8 only)
     _deleted: np.ndarray = field(default=None, repr=False)  # sorted tombstone rows
 
     @property
@@ -134,24 +135,44 @@ class DenseIndex:
         (and the mesh size) so search tiles and shards divide evenly; padded
         rows are zero vectors and can never be returned (scores masked).
 
-        dtype "int8" (or jnp.int8) stores the corpus per-row-quantized
-        (ops/quant.py) at HALF the bf16 footprint — 67.2M rows/chip at D=128
-        on a 16 GiB v5e — with searches exact w.r.t. the quantized scores."""
+        dtype "int8" (or jnp.int8) stores the corpus int8-quantized
+        (ops/quant.py; the per-block scale granularity is pinned to the
+        search kernel's reduce block via ops.mips.envelope_block) at HALF
+        the bf16 footprint — 67.2M rows/chip at D=128 on a 16 GiB v5e —
+        with searches exact w.r.t. the quantized scores."""
         n = embeddings.shape[0]
         mult = pad_multiple
+        n_dev = 1
         if mesh is not None:
-            mult = np.lcm(mult, int(np.prod(list(mesh.shape.values()))))
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            mult = np.lcm(mult, n_dev)
         n_pad = (-n) % mult
         if dtype in ("int8", jnp.int8):
+            from proqa_tpu.ops.mips import envelope_block
             from proqa_tpu.ops.quant import quantize_rows
 
-            q8, sc = quantize_rows(embeddings)  # chunked; memmap-friendly
+            n_total = n + n_pad
+            # the kernel reduces per shard: pin the quantization block to
+            # the per-shard envelope, shrunk (if needed) to divide the shard
+            qb = envelope_block(n_total // n_dev)
+            while qb > 16 and (n_total // n_dev) % qb:
+                qb //= 2
+            if (n_total // n_dev) % qb:
+                raise ValueError(
+                    f"cannot pick an int8 quantization block for "
+                    f"{n_total}/{n_dev} rows per shard"
+                )
+            q8, sc = quantize_rows(embeddings, block=qb)  # memmap-friendly
             if n_pad:
                 q8 = np.concatenate(
                     [q8, np.zeros((n_pad, q8.shape[1]), np.int8)]
                 )
-                sc = np.concatenate([sc, np.ones((n_pad,), np.float32)])
-            return cls._from_quantized(q8, sc, n, id_map, mesh)
+            nb_total = n_total // qb
+            if sc.shape[0] < nb_total:
+                sc = np.concatenate(
+                    [sc, np.ones((nb_total - sc.shape[0],), np.float32)]
+                )
+            return cls._from_quantized(q8, sc, n, qb, id_map, mesh)
         if n_pad and isinstance(embeddings, np.memmap):
             # streaming/memmap builds: pad on device instead of materializing
             # a padded host copy (O(corpus) RAM at Wikipedia scale)
@@ -170,15 +191,17 @@ class DenseIndex:
         return cls(embeddings=arr, n=n, id_map=id_map, mesh=mesh)
 
     @classmethod
-    def _from_quantized(cls, q8, sc, n: int, id_map, mesh) -> "DenseIndex":
-        """Internal: already-padded int8 rows + f32 scales onto device."""
+    def _from_quantized(cls, q8, sc, n: int, qb: int, id_map, mesh) -> "DenseIndex":
+        """Internal: already-padded int8 rows + f32 per-block scales onto
+        device."""
         if mesh is not None:
             arr = shard_rows(mesh, jnp.asarray(q8, jnp.int8))
             scales = shard_rows(mesh, jnp.asarray(sc, jnp.float32))
         else:
             arr = jax.device_put(jnp.asarray(q8, jnp.int8))
             scales = jax.device_put(jnp.asarray(sc, jnp.float32))
-        return cls(embeddings=arr, n=n, id_map=id_map, mesh=mesh, scales=scales)
+        return cls(embeddings=arr, n=n, id_map=id_map, mesh=mesh,
+                   scales=scales, quant_block=qb)
 
     @property
     def is_quantized(self) -> bool:
@@ -222,36 +245,52 @@ class DenseIndex:
             return
         # bucket the write width so repeated adds share compiled programs;
         # the bucket tail rewrites zeros over the (all-zero) capacity tail
+        qb = self.quant_block
+        start = self.n                     # first written row
+        if self.scales is not None:
+            # quantization blocks are absolute [i*qb, (i+1)*qb) row ranges:
+            # an add starting mid-block REQUANTIZES that straddled block
+            # (old rows re-round once against the possibly-larger scale)
+            r0 = (self.n // qb) * qb
+            if r0 < self.n:
+                old = self.take(np.arange(r0, self.n))     # dequantized f32
+                new = np.concatenate([old, new])
+                start = r0
+        m_w = new.shape[0]                 # rows written (old straddle + new)
         mp = 1
-        while mp < m:
+        while mp < m_w:
             mp *= 2
         cap = self.embeddings.shape[0]
-        if self.n + mp > cap:
-            new_cap = max(self.n + mp, cap + cap // 2)
+        if start + mp > cap:
+            new_cap = max(start + mp, cap + cap // 2)
             new_cap += (-new_cap) % self._PAD_MULTIPLE
             buf = jnp.zeros((new_cap, self.dim), self.embeddings.dtype)
             self.embeddings = _place_rows(buf, self.embeddings, 0)
             if self.scales is not None:
-                sbuf = jnp.ones((new_cap,), jnp.float32)
+                sbuf = jnp.ones((new_cap // qb,), jnp.float32)
                 self.scales = _place_vec(sbuf, self.scales, 0)
         if self.scales is not None:
             from proqa_tpu.ops.quant import quantize_rows
 
-            q8, sc = quantize_rows(new)
-            padded = np.zeros((mp, self.dim), np.int8)
-            padded[:m] = q8
-            sc_pad = np.ones((mp,), np.float32)
-            sc_pad[:m] = sc
-            self.scales = _place_vec(
-                self.scales, jnp.asarray(sc_pad), self.n
-            )
+            pad_rows = mp - m_w            # zero rows complete the buckets
+            padded_f = np.zeros((mp, self.dim), np.float32)
+            padded_f[:m_w] = new
+            q8, sc = quantize_rows(padded_f, block=qb)
+            # zero pad rows re-zero the capacity tail; their blocks' scales
+            # must NOT clobber real scales: only write blocks that contain
+            # at least one real row (scale of all-zero blocks is 1 anyway)
+            nb_real = -(-m_w // qb)
+            sc[nb_real:] = 1.0
+            self.scales = _place_vec(self.scales, jnp.asarray(sc), start // qb)
+            padded = q8
+            del pad_rows
         else:
             padded = np.zeros((mp, self.dim), np.float32)
-            padded[:m] = new
+            padded[:m_w] = new
         self.embeddings = _place_rows(
             self.embeddings,
             jnp.asarray(padded, self.embeddings.dtype),
-            self.n,
+            start,
         )
         self.n += m
         if ids is not None:
@@ -300,25 +339,21 @@ class DenseIndex:
         keep = np.arange(self.n)
         if self.n_deleted:
             keep = np.setdiff1d(keep, self._deleted)
-        host = np.asarray(
-            jnp.take(self.embeddings, jnp.asarray(keep), axis=0, mode="clip")
-        )
         id_map = None
         if self.id_map is not None:
             id_map = IdMap([self.id_map[int(i)] for i in keep])
         if self.scales is not None:
-            # keep the quantized representation bit-for-bit (no re-rounding)
-            sc = np.asarray(
-                jnp.take(self.scales, jnp.asarray(keep), axis=0, mode="clip")
+            # surviving rows regroup into fresh quantization blocks, so the
+            # codes REQUANTIZE from their dequantized values (one extra
+            # rounding, <= half a quantization step; equivalent to
+            # from_embeddings(dequantized survivors, dtype="int8"))
+            host = self.take(keep)
+            return DenseIndex.from_embeddings(
+                host, id_map, mesh=self.mesh, dtype="int8"
             )
-            n = host.shape[0]
-            n_pad = (-n) % self._PAD_MULTIPLE
-            if n_pad:
-                host = np.concatenate(
-                    [host, np.zeros((n_pad, host.shape[1]), np.int8)]
-                )
-                sc = np.concatenate([sc, np.ones((n_pad,), np.float32)])
-            return DenseIndex._from_quantized(host, sc, n, id_map, self.mesh)
+        host = np.asarray(
+            jnp.take(self.embeddings, jnp.asarray(keep), axis=0, mode="clip")
+        )
         return DenseIndex.from_embeddings(
             host, id_map, mesh=self.mesh, dtype=self.embeddings.dtype
         )
@@ -361,11 +396,12 @@ class DenseIndex:
         if self.mesh is not None:
             vals, idx = sharded_mips_topk(
                 q, self.embeddings, k_eff, self.mesh, exact=exact, n_valid=self.n,
-                scales=self.scales, **kw
+                scales=self.scales, quant_block=self.quant_block, **kw
             )
         else:
             vals, idx = mips_topk(q, self.embeddings, k_eff, exact=exact,
-                                  n_valid=self.n, scales=self.scales, **kw)
+                                  n_valid=self.n, scales=self.scales,
+                                  quant_block=self.quant_block, **kw)
         vals = np.asarray(vals[:q_n])
         idx = np.asarray(idx[:q_n])
         if k_eff < k:  # degenerate tiny-corpus case
@@ -401,19 +437,21 @@ class DenseIndex:
         n_valid = self.n
         mesh = self.mesh
         qdt = self._query_dtype
+        qb = self.quant_block
 
         if mesh is not None:
             def f(params, ids, emb, *sc):
                 q = encode_fn(params, ids, _query_mask(ids)).astype(qdt)
                 v, i = sharded_mips_topk(q, emb, k_eff, mesh, exact=exact,
                                          n_valid=n_valid,
-                                         scales=sc[0] if sc else None)
+                                         scales=sc[0] if sc else None,
+                                         quant_block=qb)
                 return _pad_topk_width(v, i, k)
         else:
             def f(params, ids, emb, *sc):
                 q = encode_fn(params, ids, _query_mask(ids)).astype(qdt)
                 v, i = mips_topk(q, emb, k_eff, exact=exact, n_valid=n_valid,
-                                 scales=sc[0] if sc else None)
+                                 scales=sc[0] if sc else None, quant_block=qb)
                 return _pad_topk_width(v, i, k)
         operands = (self.embeddings,)
         if self.scales is not None:
@@ -436,9 +474,9 @@ class DenseIndex:
         r = jnp.asarray(rows)
         out = jnp.take(self.embeddings, r, axis=0, mode="clip")
         if self.scales is not None:
-            out = out.astype(jnp.float32) * jnp.take(
-                self.scales, r, axis=0, mode="clip"
-            )[..., None]
+            sc = jnp.take(self.scales, jnp.maximum(r, 0) // self.quant_block,
+                          axis=0, mode="clip")
+            out = out.astype(jnp.float32) * sc[..., None]
         return np.asarray(out, np.float32)
 
     # ---------------- persistence (reference-compatible) ----------------
@@ -453,9 +491,10 @@ class DenseIndex:
         os.makedirs(path, exist_ok=True)
         if self.scales is not None:
             # the artifact stays the reference-compatible f32 matrix: int8 is
-            # a RUNTIME representation (re-quantize at load with dtype="int8")
-            host = np.asarray(self.embeddings[: self.n], np.float32)
-            host *= np.asarray(self.scales[: self.n], np.float32)[:, None]
+            # a RUNTIME representation (re-quantize at load with dtype="int8";
+            # a same-n reload recovers the codes bit-for-bit — the absmax
+            # element of each block dequantizes to exactly +-127*scale)
+            host = self.take(np.arange(self.n))
         else:
             host = np.asarray(self.embeddings[: self.n], dtype=np.float32)
         np.save(os.path.join(path, "embeddings.npy"), host)
@@ -489,14 +528,16 @@ class DenseIndex:
                 "the slab layout can't serve removed paragraphs"
             )
 
-        host = np.asarray(self.embeddings[: self.n], np.float32)
         if self.scales is not None:  # slabs store dequantized rows
-            host *= np.asarray(self.scales[: self.n], np.float32)[:, None]
+            host = self.take(np.arange(self.n))
+        else:
+            host = np.asarray(self.embeddings[: self.n], np.float32)
         ivf = build_ivf(host, nlist=nlist, nprobe=nprobe, niter=niter, seed=seed,
                         dtype=self._query_dtype, **kw)
         return IVFDenseIndex(
             embeddings=self.embeddings, n=self.n, id_map=self.id_map,
             mesh=self.mesh, ivf=ivf, scales=self.scales,
+            quant_block=self.quant_block,
         )
 
 

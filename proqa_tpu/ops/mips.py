@@ -127,7 +127,8 @@ def exact_topk(scores: jax.Array, k: int, *, group: int | None = None,
 def rescore_block_candidates(
     q_emb: jax.Array, blocks_ids: jax.Array, corpus_blocks: jax.Array, *,
     k: int, block: int, n_valid, select_fn=None, impl: str = "take",
-    scales: jax.Array | None = None, interpret: bool = False,
+    block_scales: jax.Array | None = None,
+    row_scales: jax.Array | None = None, interpret: bool = False,
 ):
     """Phase-2 exact rescore shared by the XLA block-max path and the Pallas
     pipeline (ONE home for the gather/score/pad-mask/select semantics so a
@@ -141,14 +142,20 @@ def rescore_block_candidates(
     materialized gather; requires 128 % block == 0, kb % (128//block) == 0,
     QC % 8 == 0, TPU backend).
 
-    scales: per-row f32 [NB*block] for an int8 corpus (ops/quant.py) —
-    candidate scores are multiplied by their rows' scales before selection.
+    block_scales: per-block f32 [NB] for an int8 corpus (ops/quant.py) —
+    candidate scores are multiplied by their block's scale before selection.
+    row_scales: per-row f32 [NB*block] alternative (block=1 quantization,
+    used by the XLA fallback paths whose search block is unrelated to the
+    quantization granularity).
     """
     if select_fn is None:
         select_fn = exact_topk
     qc, kb = q_emb.shape[0], blocks_ids.shape[1]
+    assert block_scales is None or row_scales is None
     if impl == "stream":
-        assert scales is None, "stream rescore does not support int8 scales"
+        assert block_scales is None and row_scales is None, (
+            "stream rescore does not support int8"
+        )
         from proqa_tpu.ops.pallas_rescore import gather_rescore
 
         s = gather_rescore(
@@ -160,9 +167,12 @@ def rescore_block_candidates(
             "qkbd,qd->qkb", cand.astype(q_emb.dtype), q_emb,
             preferred_element_type=jnp.float32, precision=_precision(q_emb.dtype),
         ).reshape(qc, kb * block)
-    if scales is not None:
+    if block_scales is not None:
+        sc = jnp.take(block_scales, blocks_ids, axis=0)      # [QC, kb]
+        s = (s.reshape(qc, kb, block) * sc[:, :, None]).reshape(qc, kb * block)
+    elif row_scales is not None:
         nb = corpus_blocks.shape[0]
-        sc = jnp.take(scales.reshape(nb, block), blocks_ids, axis=0)
+        sc = jnp.take(row_scales.reshape(nb, block), blocks_ids, axis=0)
         s = s * sc.reshape(qc, kb * block)
     base = (blocks_ids * block)[:, :, None] + jnp.arange(block)[None, None, :]
     flat_idx = base.reshape(qc, kb * block)
@@ -259,7 +269,7 @@ def mips_topk_blockmax(
         q_emb, blocks_ids = args                   # [QC, D], [QC, kb]
         return rescore_block_candidates(
             q_emb, blocks_ids, corpus_blocks, k=k, block=block,
-            n_valid=n_valid, scales=scales,
+            n_valid=n_valid, row_scales=scales,
         )
 
     if q <= q_chunk:
@@ -330,10 +340,23 @@ def mips_topk_chunked_approx(
     return vals, idx
 
 
+def envelope_block(n: int, qp: int = 2048) -> int:
+    """Stage-1 reduce-block size for the Pallas kernel at corpus size n:
+    block=16 halves the rescore gather, but bmax3 is N/block * Qpad * 4 B —
+    grow block until it fits ~4.5 GB of HBM alongside the index. Shared by
+    the search dispatcher and DenseIndex's int8 quantization (whose block
+    must EQUAL the kernel block; quantization happens at build time, so it
+    pins qp at the worst-case padded query count)."""
+    block = 16
+    while block < 256 and (n / block) * qp * 4 > 4.5e9:
+        block *= 2
+    return block
+
+
 def mips_topk(
     queries: jax.Array, corpus: jax.Array, k: int, *,
     exact: bool = True, n_valid: int | None = None,
-    scales: jax.Array | None = None, **kw,
+    scales: jax.Array | None = None, quant_block: int = 1, **kw,
 ):
     """Dispatch to the right search strategy for (k, N).
 
@@ -343,10 +366,29 @@ def mips_topk(
     (recall >= ~0.99, cf. the reference's IVF nprobe=20) — requesting
     exact=True with k > 512 warns, since the flag cannot be honored. n_valid
     masks pre-padded corpus rows; it may be a traced scalar (per-shard counts
-    in the sharded search). scales: per-row f32 for an int8-quantized corpus
+    in the sharded search).
+
+    scales: f32 [ceil(N/quant_block)] for an int8-quantized corpus
     (ops/quant.py) — results are exact w.r.t. the scaled quantized scores.
+    The fused kernel requires quant_block == envelope_block(N) (DenseIndex
+    pins this at build); other granularities fall back to the XLA path with
+    row-expanded scales.
     """
     n = corpus.shape[0]
+
+    def row_scales():
+        # lazy: only the XLA fallback paths score per row (the Pallas branch
+        # consumes the per-block array directly — expanding 67M f32 scales
+        # there would waste 268 MB of HBM)
+        if scales is None:
+            return None
+        from proqa_tpu.ops.quant import expand_scales
+
+        rs = expand_scales(scales, quant_block, n)
+        if rs.shape[0] < n:
+            rs = jnp.pad(rs, ((0, n - rs.shape[0]),), constant_values=1.0)
+        return rs
+
     if exact and k > 512 and n > 4096 and n > 4 * k:
         import warnings
 
@@ -360,7 +402,7 @@ def mips_topk(
     # fast: ~56ms at [2048, 65536] on v5e)
     if n <= 4096 or n <= 4 * k:
         return mips_topk_reference(
-            queries, corpus, min(k, n), n_valid=n_valid, scales=scales
+            queries, corpus, min(k, n), n_valid=n_valid, scales=row_scales()
         )
     if exact and k <= 512:
         q = queries.shape[0]
@@ -383,23 +425,50 @@ def mips_topk(
             qp = queries.shape[0]
             # block=16 halves the rescore gather but doubles bmax3
             # (N/block * Qpad * 4 bytes); grow block until bmax3 fits ~4.5 GB
-            block = 16
-            while block < 256 and (n / block) * qp * 4 > 4.5e9:
-                block *= 2
-            vals, idx = mips_topk_pallas_v2(
-                queries, corpus, k, block=block, group=2048 // block,
-                tile_q=tile_q, sub_chunks=4, n_valid=n_valid, scales=scales,
-            )
+            # group is PINNED at 128: bmax3's [CG, Q, G] output has G on the
+            # lane axis, and G < 128 lane-pads the whole buffer in HBM
+            # (measured: G=16 inflated 4.3 GB of maxima to 34 GB -> OOM).
+            # sub_chunks scales with block to keep each dot+reduce chain at
+            # ~512 rows (the round-3-tuned chunk at block=16).
+            block = envelope_block(n, qp)
+            if scales is not None:
+                # the kernel must reduce at the quantization granularity;
+                # any quant_block >= the envelope minimum is memory-safe
+                # (larger block shrinks bmax3)
+                if (quant_block >= block and quant_block <= 256
+                        and quant_block % 16 == 0):
+                    vals, idx = mips_topk_pallas_v2(
+                        queries, corpus, k, block=quant_block, group=128,
+                        tile_q=tile_q, sub_chunks=max(4, quant_block // 4),
+                        n_valid=n_valid, scales=scales,
+                    )
+                else:
+                    # quantization granularity doesn't match the kernel's
+                    # reduce block at this (n, qp) — XLA fallback
+                    vals, idx = mips_topk_blockmax(
+                        queries, corpus, k, n_valid=n_valid,
+                        scales=row_scales(),
+                    )
+                    vals, idx = vals[:q], idx[:q]
+                    if n_valid is not None:
+                        vals, idx = sanitize_padding(vals, idx)
+                    return vals, idx
+            else:
+                vals, idx = mips_topk_pallas_v2(
+                    queries, corpus, k, block=block, group=128,
+                    tile_q=tile_q, sub_chunks=max(4, block // 4),
+                    n_valid=n_valid,
+                )
             vals, idx = vals[:q], idx[:q]
             if n_valid is not None:
                 vals, idx = sanitize_padding(vals, idx)
             return vals, idx
         vals, idx = mips_topk_blockmax(
-            queries, corpus, k, n_valid=n_valid, scales=scales, **kw
+            queries, corpus, k, n_valid=n_valid, scales=row_scales(), **kw
         )
     else:
         vals, idx = mips_topk_chunked_approx(
-            queries, corpus, k, n_valid=n_valid, scales=scales, **kw
+            queries, corpus, k, n_valid=n_valid, scales=row_scales(), **kw
         )
     if n_valid is not None:
         vals, idx = sanitize_padding(vals, idx)

@@ -92,11 +92,13 @@ def _bmax3_kernel(qt_ref, c_ref, b3_ref, g_ref, *, block, tq, group, sub):
 def _bmax3_kernel_scaled(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *,
                          block, tq, group, sub):
     """int8-corpus variant: rows convert int8 -> query dtype (lossless in
-    bf16: integers <= 256 are exact) and the per-row scale multiplies the
-    score matrix BEFORE the block max-reduce, so the emitted maxima are true
-    quantized-score maxima (ops/quant.py). The extra VPU multiply rides the
-    same sub-chunk interleave that already hides the max-reduce behind the
-    next MXU dot."""
+    bf16: integers <= 256 are exact) and the PER-BLOCK scale (ops/quant.py)
+    multiplies the block maxima AFTER the max-reduce — a per-block scale is
+    constant within each reduce segment, so it commutes with the max, and
+    the multiply lands on the already-transposed [TQ, G] tile against a
+    dense [1, G] lane vector (a per-row scale would need a [rows, 1] operand
+    whose HBM layout is lane-padded 128x — measured 34 GB of scales at 67M
+    rows). Emitted maxima remain true quantized-score maxima."""
     _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref,
                 block=block, tq=tq, group=group, sub=sub)
 
@@ -110,12 +112,13 @@ def _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *, block, tq, group, sub):
             c_ref[i * step : (i + 1) * step].astype(qt_ref.dtype), qt_ref[:],
             preferred_element_type=jnp.float32,
         )                                                   # [rows/sub, TQ]
-        if sc_ref is not None:
-            s = s * sc_ref[i * step : (i + 1) * step]       # [step, 1] bcast
         outs.append(jnp.max(s.reshape(step // block, block, tq), axis=1))
     bm = outs[0] if sub == 1 else jnp.concatenate(outs, axis=0)  # [G, TQ]
-    b3_ref[0] = bm.T
-    g_ref[0, 0] = jnp.max(bm, axis=0)
+    bmt = bm.T                                              # [TQ, G]
+    if sc_ref is not None:
+        bmt = bmt * sc_ref[0]                               # [1, G] lane bcast
+    b3_ref[0] = bmt
+    g_ref[0, 0] = jnp.max(bmt, axis=1)
 
 
 @functools.partial(
@@ -129,7 +132,7 @@ def block_maxima_grouped(
     group: int = 128,
     tile_q: int = 512,
     sub_chunks: int = 1,
-    scales: jax.Array | None = None,   # [N] f32 per-row scales (int8 corpus)
+    scales: jax.Array | None = None,   # [N/block] f32 per-BLOCK scales (int8)
     interpret: bool = False,
 ):
     """Fused scoring + two-level maxima, laid out for cheap per-query
@@ -140,8 +143,9 @@ def block_maxima_grouped(
     contiguous-row gather (~free on TPU) instead of the strided column access
     that made the round-1 [NB, Q] layout cost ~20 ms at the headline point.
 
-    With `scales`, the corpus is per-row quantized (ops/quant.py) and the
-    emitted maxima are of the SCALED scores scale_r * (q . c_r).
+    With `scales` ([N/block] f32), the corpus is per-block int8-quantized
+    (ops/quant.py: the quantization block == this kernel's reduce block) and
+    the emitted maxima are of the SCALED scores scale_b(r) * (q . c_r).
     """
     q, d = queries.shape
     n, d2 = corpus.shape
@@ -164,15 +168,21 @@ def block_maxima_grouped(
             _bmax3_kernel, block=block, tq=tile_q, group=group, sub=sub_chunks
         )
     else:
-        assert scales.shape == (n,)
+        assert scales.shape == (n // block,), (
+            f"need per-block scales [{n // block}], got {scales.shape} — the "
+            "quantization block must equal the kernel block"
+        )
         kernel = functools.partial(
             _bmax3_kernel_scaled, block=block, tq=tile_q, group=group,
             sub=sub_chunks,
         )
+        # [CG, 1, G] with a (1, 1, G) block: Mosaic requires the block's last
+        # two dims divisible by (8, 128) OR equal to the array's — (1, G)
+        # matches the array exactly for any G
         in_specs.append(pl.BlockSpec(
-            (rows_per_group, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            (1, 1, group), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
         ))
-        operands.append(scales.astype(jnp.float32).reshape(n, 1))
+        operands.append(scales.astype(jnp.float32).reshape(cg, 1, group))
     b3, g = pl.pallas_call(
         kernel,
         grid=grid,
@@ -244,8 +254,9 @@ def mips_topk_pallas_v2(
     most k of them exist and top-kb (kb >= k) selection visits them all; ties
     can swap equal-valued results only (see ops/mips.exact_topk docstring).
 
-    scales: per-row f32 [N] for an int8-quantized corpus (ops/quant.py) —
-    results are then exact w.r.t. the scaled quantized scores.
+    scales: per-BLOCK f32 [ceil(N/block)] for an int8-quantized corpus
+    (ops/quant.py, quantization block == this `block`) — results are then
+    exact w.r.t. the scaled quantized scores.
     """
     q, d = queries.shape
     n0 = corpus.shape[0]
@@ -255,9 +266,10 @@ def mips_topk_pallas_v2(
     pad = (-n0) % rows_per_group
     if pad:
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
-        if scales is not None:
-            scales = jnp.pad(scales, ((0, pad),), constant_values=1.0)
     n = corpus.shape[0]
+    if scales is not None and scales.shape[0] < n // block:
+        scales = jnp.pad(scales, ((0, n // block - scales.shape[0]),),
+                         constant_values=1.0)
     nb = n // block
     cg = n // rows_per_group
     if kb is None:
@@ -288,9 +300,7 @@ def mips_topk_pallas_v2(
                 precision=_precision(queries.dtype),
             )                                               # [Q, block]
             if scales is not None:
-                s = s * jax.lax.dynamic_slice_in_dim(
-                    scales, sb * block, block, axis=0
-                )[None, :]
+                s = s * jax.lax.dynamic_slice_in_dim(scales, sb, 1, axis=0)
             row_valid = (sb * block + jnp.arange(block)) < n_valid
             patched = jnp.max(
                 jnp.where(row_valid[None, :], s, NEG_INF), axis=1
@@ -321,7 +331,7 @@ def mips_topk_pallas_v2(
         return rescore_block_candidates(
             q_emb, blocks_ids, corpus_blocks, k=k, block=block,
             n_valid=n_valid, select_fn=_sels[2], impl=rescore_impl,
-            scales=scales, interpret=interpret,
+            block_scales=scales, interpret=interpret,
         )
 
     if q_chunk is None or q <= q_chunk:

@@ -29,6 +29,7 @@ def sharded_mips_topk(
     exact: bool = True,
     n_valid: int | None = None,
     scales: jax.Array | None = None,
+    quant_block: int = 1,
     **search_kw,
 ):
     """Global top-k over a row-sharded corpus.
@@ -36,8 +37,9 @@ def sharded_mips_topk(
     queries: [Q, D] (replicated); corpus: [N, D] sharded P('data', None).
     Returns replicated (values [Q, k], indices [Q, k]) with global row ids.
     N must divide evenly by the mesh size (pad the corpus at build time);
-    n_valid masks trailing padded rows by their GLOBAL index. scales: [N]
-    per-row f32 for an int8 corpus (ops/quant.py), sharded with the rows.
+    n_valid masks trailing padded rows by their GLOBAL index.
+    scales: [N/quant_block] f32 for an int8 corpus (ops/quant.py), sharded
+    with the rows (each shard's row count must divide by quant_block).
     """
     n_dev = mesh.shape[DATA_AXIS]
     n = corpus.shape[0]
@@ -59,11 +61,12 @@ def sharded_mips_topk(
             local_valid = jnp.clip(jnp.int32(n_valid) - offset, 0, local_n)
             vals, idx = mips_topk(
                 q, c_local, k_local, exact=exact, n_valid=local_valid,
-                scales=sc_local, **search_kw
+                scales=sc_local, quant_block=quant_block, **search_kw
             )
         else:
             vals, idx = mips_topk(q, c_local, k_local, exact=exact,
-                                  scales=sc_local, **search_kw)
+                                  scales=sc_local, quant_block=quant_block,
+                                  **search_kw)
         idx = idx + offset
         if n_valid is not None and n_valid < n:
             vals = jnp.where(idx < n_valid, vals, jnp.float32(NEG_INF))
@@ -91,7 +94,10 @@ def sharded_mips_topk(
     in_specs = (P(), P(DATA_AXIS, None))
     operands = (queries, corpus)
     if scales is not None:
-        assert scales.shape == (n,)
+        assert scales.shape == (n // quant_block,)
+        assert local_n % quant_block == 0, (
+            f"shard rows {local_n} not divisible by quant_block {quant_block}"
+        )
         in_specs += (P(DATA_AXIS),)
         operands += (scales,)
     fn = shard_map(

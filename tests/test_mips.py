@@ -150,6 +150,28 @@ def test_quantize_roundtrip_and_chunking():
     assert (np.abs(deq - emb).max(axis=1) <= bound).all()
 
 
+def test_quantize_per_block():
+    """block > 1: one scale per block of rows; partial tail block scaled
+    over its real rows; chunking cannot split blocks."""
+    from proqa_tpu.ops.quant import dequantize_rows, expand_scales, quantize_rows
+    rng = np.random.default_rng(33)
+    n, d, block = 75, 16, 16                      # ragged tail block of 11
+    emb = (rng.standard_normal((n, d)) * rng.uniform(0.1, 10.0, (n, 1))).astype(np.float32)
+    q8, sc = quantize_rows(emb, block=block, chunk=37)   # chunk rounds to 32
+    assert sc.shape == (5,)
+    # scale is the block absmax / 127
+    for b in range(5):
+        rows = emb[b * block : (b + 1) * block]
+        np.testing.assert_allclose(sc[b], np.abs(rows).max() / 127, rtol=1e-6)
+    deq = dequantize_rows(q8, sc, block=block)
+    bound = expand_scales(sc, block, n) / 2 + 1e-7
+    assert (np.abs(deq - emb).max(axis=1) <= bound).all()
+    # matches an unchunked quantization bit-for-bit
+    q8b, scb = quantize_rows(emb, block=block)
+    np.testing.assert_array_equal(q8, q8b)
+    np.testing.assert_array_equal(sc, scb)
+
+
 @pytest.mark.parametrize("path", ["reference", "blockmax", "approx"])
 def test_int8_scales_match_dequantized_search(path):
     """Every scales-aware search path returns exactly the top-k of the

@@ -245,20 +245,21 @@ def test_rescore_impl_stream_matches_take():
 # ---------------- int8 quantized corpus in the fused kernel (round 4) ----------------
 
 def test_pallas_v2_int8_scales_matches_dequantized():
-    """The scaled kernel (scales multiplied before the block max-reduce) +
-    scaled rescore return exactly the top-k of the dequantized corpus,
-    including ragged-N straddler masking."""
+    """The scaled kernel (per-block scales multiplied after the block
+    max-reduce — constant within a block, so it commutes) + scaled rescore
+    return exactly the top-k of the dequantized corpus, including ragged-N
+    straddler masking."""
     from proqa_tpu.ops.quant import dequantize_rows, quantize_rows
     rng = np.random.default_rng(40)
-    n, d, q, k = 5003, 128, 32, 9      # ragged: pad + straddler block
+    n, d, q, k, block = 5003, 128, 32, 9, 16   # ragged: pad + straddler
     emb = (rng.standard_normal((n, d)) * rng.uniform(0.5, 2.0, (n, 1))).astype(np.float32)
     queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
-    q8, sc = quantize_rows(emb)
+    q8, sc = quantize_rows(emb, block=block)
     want_v, want_i = mips_topk_reference(
-        queries, jnp.asarray(dequantize_rows(q8, sc)), k
+        queries, jnp.asarray(dequantize_rows(q8, sc, block=block)), k
     )
     got_v, got_i = mips_topk_pallas_v2(
-        queries, jnp.asarray(q8), k, block=16, group=8, tile_q=32,
+        queries, jnp.asarray(q8), k, block=block, group=8, tile_q=32,
         sub_chunks=2, scales=jnp.asarray(sc), interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
@@ -269,17 +270,18 @@ def test_pallas_v2_int8_scales_matches_dequantized():
 def test_block_maxima_grouped_int8_scales():
     """Kernel-level: scaled block maxima equal numpy maxima of scaled scores."""
     from proqa_tpu.ops.pallas_mips import block_maxima_grouped
-    from proqa_tpu.ops.quant import quantize_rows
+    from proqa_tpu.ops.quant import expand_scales, quantize_rows
     rng = np.random.default_rng(41)
     n, d, q, block, group = 1024, 128, 16, 8, 16
     emb = (rng.standard_normal((n, d)) * rng.uniform(0.25, 4.0, (n, 1))).astype(np.float32)
     queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
-    q8, sc = quantize_rows(emb)
+    q8, sc = quantize_rows(emb, block=block)
     b3, g = block_maxima_grouped(
         queries, jnp.asarray(q8), block=block, group=group, tile_q=16,
         sub_chunks=2, scales=jnp.asarray(sc), interpret=True,
     )
-    scores = (np.asarray(queries) @ q8.astype(np.float32).T) * sc[None, :]
+    row_sc = expand_scales(sc, block, n)
+    scores = (np.asarray(queries) @ q8.astype(np.float32).T) * row_sc[None, :]
     want = scores.reshape(q, n // block, block).max(-1)        # [Q, NB]
     cg = n // (block * group)
     got = np.asarray(b3).transpose(1, 0, 2).reshape(q, cg * group)

@@ -34,7 +34,7 @@ def main():
 
     rng = np.random.default_rng(0)
     xb = rng.standard_normal((N, D), dtype=np.float32)
-    q8, sc = quantize_rows(xb)
+    q8, sc = quantize_rows(xb, block=BLOCK)   # per-block == kernel block
     corpus_bf16 = jax.device_put(jnp.asarray(xb, jnp.bfloat16))
     corpus_i8 = jax.device_put(jnp.asarray(q8))
     scales = jax.device_put(jnp.asarray(sc))
