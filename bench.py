@@ -286,11 +286,14 @@ def _bench_mips_16m() -> dict:
     def search():
         # block=32 here (not the 4.2M-tuned 16): bmax3 is N/block*Q*4 bytes
         # = 4.3 GiB at 16.8M — block=16 would need 8.6 GiB on top of the
-        # 4 GiB corpus and overflow HBM. group stays 128 (a narrower G
-        # lane-pads the whole bmax3 buffer); sub_chunks=8 keeps each
-        # dot+reduce chain at 512 rows
+        # 4 GiB corpus and overflow HBM. group=128: G=64 lane-pads the whole
+        # bmax3 buffer AND measures ~20% slower in-process; sub_chunks=4
+        # (1024-row dot+reduce chains) beat 8 by ~2.5%
+        # (tools/big_mips_ab.py round 4: g128_s4 89.4 / g128_s8 91.7 /
+        # g64_s4 109.6 / g64_s8 107.5 — round-3's 75.8 with g64_s4 was a
+        # faster SESSION, not a better config)
         return mips_topk_pallas_v2(
-            queries, corpus, K, block=32, group=128, tile_q=2048, sub_chunks=8
+            queries, corpus, K, block=32, group=128, tile_q=2048, sub_chunks=4
         )
 
     vals, idx = search()
@@ -463,15 +466,23 @@ def _bench_mips_67m_int8() -> dict:
 
 
 def _bench_serve() -> dict:
-    """Warm QA serving latency (p50/p95 per /answer request) on the shared
-    qa_world — the `proqa serve` steady-state path (round-3 VERDICT weak #4:
-    driver-track serving so the /answer path can't silently regress)."""
+    """Warm QA serving on the shared qa_world — the `proqa serve`
+    steady-state path (round-3 VERDICT weak #4: driver-track serving so the
+    /answer path can't silently regress). Two sub-measurements over ONE
+    world: per-request p50/p95 latency (question_batch=1), and loaded
+    throughput — 16 questions dispatched one-by-one (serial) vs as one
+    MicroBatcher-style drain (batch16, pad_buckets sampler)."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
     import serve_latency
+    import serve_load_probe
+    from qa_world import build_qa_world
 
-    return serve_latency.measure()
+    w = build_qa_world()
+    out = serve_latency.measure(w)
+    out.update(serve_load_probe.measure(w, rounds=3, http=False))
+    return out
 
 
 def _bench_train_step() -> dict:

@@ -551,24 +551,43 @@ def cmd_serve(args):
     """HTTP QA serving: model + device-resident index + compiled dispatches
     stay warm across requests (serving.py; the reference has no serving
     layer, SURVEY §1)."""
-    from proqa_tpu.serving import IndexUpdater, make_qa_server
+    from proqa_tpu.serving import IndexUpdater, make_qa_server, warmup_buckets
+
+    import dataclasses
+
+    from proqa_tpu.qa.sampler import OnlineSampler
 
     trainer, make_sampler = _qa_setup(args)
+    # serving sampler: groups of up to --max-batch questions (one MicroBatcher
+    # drain = one encode+search + one reader dispatch), padded to power-of-two
+    # buckets so a lone request rides a 1-row dispatch
+    sampler_probe = make_sampler([])
+    serve_scfg = dataclasses.replace(
+        sampler_probe.cfg, question_batch=max(args.max_batch, 1),
+        pad_buckets=True,
+    )
+    serve_tok = _tokenizer(args)  # built once, reused by every drain
+    make_serve_sampler = lambda raw: OnlineSampler(
+        raw, serve_tok, sampler_probe.db, sampler_probe.index, serve_scfg,
+    )
     if args.warmup:
-        # pay jit compiles before accepting traffic
-        trainer.answer(make_sampler([{"question": args.warmup}]),
-                       alpha=args.alpha, topn=args.topn)
+        # pay jit compiles before accepting traffic — once per power-of-two
+        # bucket the MicroBatcher can drain (each is a distinct signature)
+        for b in warmup_buckets(serve_scfg.question_batch):
+            trainer.answer(
+                make_serve_sampler([{"question": args.warmup}] * b),
+                alpha=args.alpha, topn=args.topn,
+            )
     # live /add + /remove: mutations need the unsharded dense index (the
     # sampler closure holds it; reconstruct the handles the same way)
-    sampler_probe = make_sampler([])
     updater = IndexUpdater(
-        trainer, _tokenizer(args), sampler_probe.db, sampler_probe.index,
+        trainer, serve_tok, sampler_probe.db, sampler_probe.index,
         max_seq_length=args.max_seq_length,
     )
     server = make_qa_server(
-        trainer, make_sampler, host=args.host, port=args.port,
+        trainer, make_serve_sampler, host=args.host, port=args.port,
         alpha=args.alpha, topn=args.topn, logger=trainer.logger,
-        updater=updater,
+        updater=updater, max_batch=args.max_batch,
     )
     host, port = server.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}/answer"}), flush=True)
@@ -825,7 +844,12 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--port", type=int, default=8080)
             sp.add_argument("--warmup", default="",
                             help="question used to pay jit compiles before "
-                                 "accepting traffic")
+                                 "accepting traffic (one compile per "
+                                 "power-of-two batch bucket up to "
+                                 "--max-batch)")
+            sp.add_argument("--max-batch", type=int, default=16,
+                            help="max concurrent /answer questions coalesced "
+                                 "into one device dispatch (MicroBatcher)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("convert-hf")

@@ -38,6 +38,19 @@ def collate_tokens(seqs, pad_value: int = 0, *, length: int | None = None,
     return pad_to(seqs, length, pad_value, dtype)
 
 
+def pad_bucket(n: int, cap: int) -> int:
+    """Smallest power-of-two >= n, capped at `cap` (the configured batch).
+
+    The serving path pads question batches to these buckets instead of always
+    to the full batch (log2(cap) compiled signatures instead of 1): a lone
+    /answer request rides a 1-row dispatch while a MicroBatcher drain of 13
+    rides a 16-row one, rather than every request paying the cap-row reader
+    forward. `proqa serve --warmup` pre-pays each bucket's compile."""
+    if n >= cap:
+        return cap
+    return min(1 << max(0, (n - 1).bit_length()), cap)
+
+
 def batch_pad(batch: dict, batch_size: int) -> tuple[dict, int]:
     """Pad the batch dim of every array to `batch_size` by repeating row 0;
     returns (padded batch, true row count). Keeps trailing partial batches on

@@ -27,7 +27,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 
-from proqa_tpu.data.collate import pad_to
+from proqa_tpu.data.collate import pad_bucket, pad_to
 from proqa_tpu.data.docdb import DocDB
 from proqa_tpu.index.dense import DenseIndex
 from proqa_tpu.ops.mips import NEG_INF
@@ -58,6 +58,15 @@ class OnlineSamplerConfig:
                                  # cost of candidates up to that many steps
                                  # stale (prefetch already implies ~2; the
                                  # params drift per step is tiny next to it)
+    pad_buckets: bool = False    # eval_load pads each group to the smallest
+                                 # power-of-two bucket <= question_batch
+                                 # instead of always the full batch — the
+                                 # SERVING setting (variable-size MicroBatcher
+                                 # drains; log2(B) pre-warmed signatures).
+                                 # Keep False for predict/eval files, where
+                                 # only the once-per-file tail group is
+                                 # ragged and one signature beats an extra
+                                 # multi-minute remote compile
 
 
 class OnlineSampler:
@@ -374,8 +383,12 @@ class OnlineSampler:
         for group_start in range(0, len(self.qa_data), B):
             group = self.qa_data[group_start : group_start + B]
             questions = [qa["question"] for qa in group]
+            # serving (pad_buckets): encode/search at the group's power-of-two
+            # bucket, not the full B — QATrainer._iter_candidate_predictions
+            # computes the SAME bucket for the reader forward
+            pad = pad_bucket(len(group), B) if self.cfg.pad_buckets else B
             q_ids, rows, para_embeds = self._retrieve(
-                questions, query_encoder, candidates=k, pad_rows=B
+                questions, query_encoder, candidates=k, pad_rows=pad
             )
             examples = []
             for qa, qi, rr, pe in zip(group, q_ids, rows, para_embeds):

@@ -10,6 +10,7 @@ fused encode+search dispatch plus one reader forward, not a process start.
 
 Endpoints:
   GET  /healthz              -> {"status": "ok"}
+  GET  /stats                -> micro-batcher counters + live index rows
   GET  /answer?q=<question>  -> answer row (see below)
   POST /answer {"question": ..., "topn"?: int, "alpha"?: float}
   POST /answer {"questions": [...]}   (batched: list of rows)
@@ -26,8 +27,12 @@ retrievable by the next /answer; removed ones stop being retrievable
 exactly (tombstones — see index/dense.py). The reference has no
 equivalent: its FAISS index is baked offline.
 
-Device dispatches are serialized by a lock: concurrent requests queue on
-the single chip rather than interleaving sampler/cache state.
+Concurrent /answer requests are MICRO-BATCHED (MicroBatcher below): the
+worker drains whatever queued during the in-flight dispatch and serves up
+to --max-batch questions with ONE encode+search+read dispatch — lone
+requests dispatch immediately (no artificial wait), loaded servers
+amortize. Per-request alpha/topn survive batching (they are host-side
+decode parameters). Index mutations share the device lock with dispatches.
 """
 from __future__ import annotations
 
@@ -37,6 +42,113 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent /answer requests into one device dispatch.
+
+    Backpressure batching, no artificial wait: the worker drains whatever is
+    queued and dispatches it; requests arriving DURING a dispatch queue up
+    and ride the next one. The in-flight dispatch time (tens of ms through
+    the tunnel) is the batching window, so a lone request dispatches
+    immediately (no added latency) while a loaded server amortizes one
+    encode+search+read over up to `max_batch` questions. Per-request
+    alpha/topn are honored inside a shared batch (QATrainer.answer applies
+    them host-side after the device work).
+
+    Thread-safe; one daemon worker per server. `stats` counts (batches,
+    items) for observability and tests."""
+
+    _STOP = object()
+
+    def __init__(self, answer_batch, max_batch: int = 16):
+        self._answer_batch = answer_batch   # list[(question, alpha, topn)] -> rows
+        self.max_batch = max(1, int(max_batch))
+        self._cv = threading.Condition()
+        self._queue: list = []              # [(item, slot)] — slot: [event, out, err]
+        self._stopped = False
+        self.stats = {"batches": 0, "items": 0, "max_batch_seen": 0}
+        self._worker = threading.Thread(
+            target=self._run, name="proqa-microbatcher", daemon=True
+        )
+        self._worker.start()
+
+    def submit_many(self, items: list[tuple]) -> list[dict]:
+        """Enqueue [(question, alpha, topn)] as one unit and wait. A batched
+        POST stays contiguous so its questions share a dispatch (subject to
+        max_batch splitting)."""
+        if not items:
+            return []
+        slot = [threading.Event(), None, None]
+        with self._cv:
+            if self._stopped:
+                raise RuntimeError("server is shutting down")
+            self._queue.extend((it, slot, i) for i, it in enumerate(items))
+            slot[1] = [None] * len(items)
+            self._cv.notify()
+        slot[0].wait()
+        if slot[2] is not None:
+            raise slot[2]
+        return slot[1]
+
+    def submit(self, question: str, alpha: float, topn: int) -> dict:
+        return self.submit_many([(question, alpha, topn)])[0]
+
+    def close(self):
+        with self._cv:
+            self._stopped = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stopped:
+                    self._cv.wait()
+                if self._stopped and not self._queue:
+                    return
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            items = [it for it, _, _ in batch]
+            try:
+                rows = self._answer_batch(items)
+                err = None
+                if len(rows) != len(items):  # pragma: no cover - invariant
+                    err = RuntimeError(
+                        f"answer returned {len(rows)} rows for {len(items)}"
+                    )
+            except Exception as e:
+                rows, err = None, e
+            self.stats["batches"] += 1
+            self.stats["items"] += len(items)
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(items)
+            )
+            for bi, (_, slot, pos) in enumerate(batch):
+                if err is not None:
+                    slot[2] = err
+                else:
+                    slot[1][pos] = rows[bi]
+            # a slot completes when all its items have results (a request
+            # split across two drains by max_batch finishes on the later one)
+            for _, slot, _ in batch:
+                if slot[2] is not None or all(r is not None for r in slot[1]):
+                    slot[0].set()
+
+
+def warmup_buckets(cap: int) -> list[int]:
+    """The distinct power-of-two batch buckets a `--max-batch cap` server can
+    dispatch ([1, 2, 4, ..., cap]); `proqa serve --warmup` pre-pays one jit
+    compile per entry so no live request ever stalls on a remote compile."""
+    from proqa_tpu.data.collate import pad_bucket
+
+    out, b = [], 1
+    while True:
+        b = pad_bucket(b, max(1, cap))
+        if out and b == out[-1]:
+            return out
+        out.append(b)
+        b += 1
 
 
 class IndexUpdater:
@@ -142,15 +254,29 @@ def make_qa_server(
     topn: int = 3,
     logger=None,
     updater: IndexUpdater | None = None,
+    max_batch: int = 16,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server. Call .serve_forever() to run; tests use
-    port=0 for an ephemeral port and .shutdown() from another thread."""
+    port=0 for an ephemeral port and .shutdown() from another thread.
+
+    Concurrent /answer requests are micro-batched (MicroBatcher): up to
+    `max_batch` questions share one encode+search+read dispatch, with
+    per-request alpha/topn applied host-side."""
     lock = threading.Lock()
 
+    def _answer_batch(items: list[tuple]) -> list[dict]:
+        sampler = make_sampler([{"question": q} for q, _, _ in items])
+        with lock:  # mutations (/add, /remove) serialize with dispatches
+            return trainer.answer(
+                sampler,
+                alpha=[a for _, a, _ in items],
+                topn=[n for _, _, n in items],
+            )
+
+    batcher = MicroBatcher(_answer_batch, max_batch=max_batch)
+
     def _answer(questions: list[str], a: float, n: int) -> list[dict]:
-        sampler = make_sampler([{"question": q} for q in questions])
-        with lock:
-            return trainer.answer(sampler, alpha=a, topn=n)
+        return batcher.submit_many([(q, a, n) for q in questions])
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route to our logger, not stderr
@@ -169,6 +295,11 @@ def make_qa_server(
             url = urlparse(self.path)
             if url.path == "/healthz":
                 return self._send(200, {"status": "ok"})
+            if url.path == "/stats":
+                out = dict(batcher.stats)
+                if updater is not None:
+                    out["index_rows"] = len(updater.index)
+                return self._send(200, out)
             if url.path == "/answer":
                 qs = parse_qs(url.query)
                 if "q" not in qs:
@@ -238,4 +369,13 @@ def make_qa_server(
                 return self._send(500, {"error": f"{type(e).__name__}: {e}"})
             return self._send(200, rows[0] if single else rows)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # expose for stats/tests; closed on shutdown
+    _orig_shutdown = server.shutdown
+
+    def _shutdown():
+        _orig_shutdown()
+        batcher.close()
+
+    server.shutdown = _shutdown
+    return server

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from proqa_tpu.data.collate import batch_pad
+from proqa_tpu.data.collate import batch_pad, pad_bucket
 from proqa_tpu.data.loader import BatchLoader
 from proqa_tpu.models.bert import BertConfig
 from proqa_tpu.models.reader import (
@@ -446,8 +446,16 @@ class QATrainer:
         question. Shared decode path of `predict` (batch EM eval) and
         `answer` (one-shot serving)."""
         t = self.tcfg
+        buckets = getattr(sampler.cfg, "pad_buckets", False)
         for batch in self._prefetched(sampler.eval_load(self.query_encoder(), t.eval_k, B)):
-            net, rows = batch_pad(batch["net_input"], B)
+            # pad_buckets (serving): pad the reader forward to the group's
+            # power-of-two bucket, floored at the data-mesh size (_eval_step
+            # DP-shards the batch dim, so it must stay divisible)
+            target = (
+                max(pad_bucket(len(batch["id"]), B), self.mesh.shape[DATA_AXIS])
+                if buckets else B
+            )
+            net, rows = batch_pad(batch["net_input"], target)
             out = self._eval_step(self.state.params, self._device_batch(net))
             start = np.asarray(out["start"])[:rows]
             end = np.asarray(out["end"])[:rows]
@@ -481,35 +489,45 @@ class QATrainer:
                     ))
                 yield qid, batch["q"][qi], batch["true_answers"][qi], preds
 
-    def answer(self, sampler, alpha: float = 0.8, topn: int = 3) -> list[dict]:
+    def answer(self, sampler, alpha=0.8, topn=3) -> list[dict]:
         """One-shot open-domain QA inference (the serving path): retrieve
         eval_k paragraphs, read, extract the best span per question, rank
         candidates by alpha*span + (1-alpha)*rank. The reference exposes no
         single-question path (train_retrieve_qa.py:280-330 only batch-evals
         against gold answers); this is predict's decode without the sweep.
+
+        alpha/topn may be scalars or per-question sequences aligned with the
+        sampler's question order — the ranking mix is a HOST-side decode over
+        already-computed span/rank scores, so questions with different alphas
+        still share every device dispatch (serving.MicroBatcher relies on
+        this to coalesce concurrent requests into one dispatch).
         """
         results = []
+        alphas = alpha if isinstance(alpha, (list, tuple)) else None
+        topns = topn if isinstance(topn, (list, tuple)) else None
         for _qid, question, _ans, preds in self._iter_candidate_predictions(
             sampler, sampler.cfg.question_batch
         ):
+            a = float(alphas[len(results)]) if alphas is not None else alpha
+            n = int(topns[len(results)]) if topns is not None else topn
             ranked = sorted(
                 preds,
-                key=lambda x: alpha * x.span_score + (1 - alpha) * x.rank_score,
+                key=lambda x: a * x.span_score + (1 - a) * x.rank_score,
                 reverse=True,
             )
             results.append({
                 "question": question,
                 "answer": ranked[0].text if ranked else "",
-                "alpha": alpha,
+                "alpha": a,
                 "candidates": [
                     {
                         "answer": p.text,
-                        "score": round(alpha * p.span_score + (1 - alpha) * p.rank_score, 4),
+                        "score": round(a * p.span_score + (1 - a) * p.rank_score, 4),
                         "span_score": round(p.span_score, 4),
                         "rank_score": round(p.rank_score, 4),
                         "passage": p.passage,
                     }
-                    for p in ranked[:topn]
+                    for p in ranked[:n]
                 ],
             })
         return results

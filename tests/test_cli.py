@@ -480,6 +480,13 @@ def test_cli_serve_http(world):
             "what is about tok1", "what is about tok2",
         ]
 
+        # every answered question rode the MicroBatcher; /stats exposes it
+        status, stats = get("/stats")
+        assert status == 200
+        assert stats["items"] == 4 and stats["batches"] >= 1
+        assert stats["max_batch_seen"] >= 2  # the batched POST shared a drain
+        assert stats["index_rows"] == len(updater.index)
+
         assert post("/answer", {})[0] == 400
         assert post("/answer", {"questions": ["", "x"]})[0] == 400
         assert post("/answer", {"questions": []})[0] == 400

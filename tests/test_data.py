@@ -68,6 +68,17 @@ def test_batch_pad():
     assert b["x"].shape == (8, 4) and rows == 3
 
 
+def test_pad_bucket():
+    from proqa_tpu.data.collate import pad_bucket
+
+    assert [pad_bucket(n, 16) for n in (1, 2, 3, 4, 5, 8, 9, 16)] == \
+        [1, 2, 4, 4, 8, 8, 16, 16]
+    assert pad_bucket(20, 16) == 16       # capped at the configured batch
+    assert pad_bucket(3, 5) == 4          # non-power-of-two cap: pow2 below it
+    assert pad_bucket(5, 5) == 5          # ...but full groups use the cap
+    assert pad_bucket(1, 1) == 1
+
+
 def test_pair_dataset_filter(tmp_path):
     path = str(tmp_path / "pairs.jsonl")
     with open(path, "w") as f:

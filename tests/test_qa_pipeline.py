@@ -625,3 +625,44 @@ def test_retrieval_batch_grouping_same_batches(world, scfg):
         for key in bg["net_input"]:
             np.testing.assert_array_equal(bg["net_input"][key], bw["net_input"][key])
     assert s_grouped.failed_retrieval == s_plain.failed_retrieval
+
+
+def test_answer_pad_buckets_matches_full_pad(world, scfg, tmp_path):
+    """pad_buckets=True (the `proqa serve` setting): a 3-question answer()
+    runs its reader forward at the 4-row power-of-two bucket instead of the
+    full question_batch=8, with rows identical to the always-full-pad path
+    (padding is repeats of row 0, sliced off before decode)."""
+    import dataclasses
+
+    trainer = _make_trainer(world, tmp_path, "buckets", mesh_size=1)
+    trainer.set_corpus(world["index"])
+    qs = [{"question": f"what is about tok{i} tok{i+1}"} for i in range(3)]
+    full_cfg = dataclasses.replace(scfg, question_batch=8)
+    bucket_cfg = dataclasses.replace(full_cfg, pad_buckets=True)
+
+    shapes = []
+    orig = trainer._eval_step
+
+    def spy(params, net):
+        shapes.append(net["input_ids"].shape[0])
+        return orig(params, net)
+
+    trainer._eval_step = spy
+    rows_full = trainer.answer(OnlineSampler(
+        qs, world["tok"], world["db"], world["index"], full_cfg), topn=2)
+    rows_bucketed = trainer.answer(OnlineSampler(
+        qs, world["tok"], world["db"], world["index"], bucket_cfg), topn=2)
+    assert shapes == [8, 4]
+    assert rows_bucketed == rows_full
+
+    # multi-device DP floor: the bucket may never undercut the data mesh
+    # (_eval_step shards the batch dim over it)
+    trainer4 = _make_trainer(world, tmp_path, "buckets4", mesh_size=4)
+    trainer4.set_corpus(world["index"])
+    shapes4 = []
+    orig4 = trainer4._eval_step
+    trainer4._eval_step = lambda p, net: (
+        shapes4.append(net["input_ids"].shape[0]) or orig4(p, net))
+    rows_one = trainer4.answer(OnlineSampler(
+        qs[:1], world["tok"], world["db"], world["index"], bucket_cfg), topn=2)
+    assert shapes4 == [4] and len(rows_one) == 1
