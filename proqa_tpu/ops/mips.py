@@ -376,6 +376,24 @@ def mips_topk(
     """
     n = corpus.shape[0]
 
+    # int8 kernel path guard: DenseIndex pins quant_block at build with
+    # envelope_block(n, qp=2048). A query batch padding past 2048 would grow
+    # the envelope beyond quant_block and silently drop to the XLA fallback
+    # with row-expanded scales (268 MB HBM at 67M rows — likely OOM at the
+    # capacity point the int8 index exists for). envelope_block is monotonic
+    # in qp, so chunking to <=2048 queries keeps quant_block >= block and the
+    # kernel path always holds.
+    if (exact and k <= 512 and scales is not None and queries.shape[0] > 2048
+            and n > 4096 and n > 4 * k):
+        parts = [
+            mips_topk(queries[s:s + 2048], corpus, k, exact=True,
+                      n_valid=n_valid, scales=scales, quant_block=quant_block,
+                      **kw)
+            for s in range(0, queries.shape[0], 2048)
+        ]
+        return (jnp.concatenate([v for v, _ in parts]),
+                jnp.concatenate([i for _, i in parts]))
+
     def row_scales():
         # lazy: only the XLA fallback paths score per row (the Pallas branch
         # consumes the per-block array directly — expanding 67M f32 scales

@@ -169,7 +169,7 @@ def _gather_rescore_1(
         in_specs=[
             pl.BlockSpec((_QB, d), lambda qi, cj, ids: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # corpus stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # corpus stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (_QB, cpb * block), lambda qi, cj, ids: (qi, cj),

@@ -107,8 +107,17 @@ class MicroBatcher:
                     self._cv.wait()
                 if self._stopped and not self._queue:
                     return
-                batch = self._queue[: self.max_batch]
-                del self._queue[: self.max_batch]
+                # skip items whose slot already failed (a submit_many larger
+                # than max_batch splits across drains; once an early drain
+                # errored the caller has been failed — dispatching the
+                # remainder would waste device work on discarded results)
+                batch = []
+                while self._queue and len(batch) < self.max_batch:
+                    entry = self._queue.pop(0)
+                    if entry[1][2] is None:
+                        batch.append(entry)
+            if not batch:
+                continue
             items = [it for it, _, _ in batch]
             try:
                 rows = self._answer_batch(items)
@@ -220,10 +229,15 @@ class IndexUpdater:
         # DB first: if the index mutation fails mid-way the worst outcome is
         # an orphan text row, never a retrievable embedding without text
         self.db.add_docs(zip(ids, texts))
+        # add the new rows BEFORE tombstoning the stale ones: /add runs under
+        # the same lock as search dispatches, so no reader can observe the
+        # transient two-live-rows state — and if add raises (e.g. a
+        # capacity-growth dispatch failure through the tunnel) the OLD rows
+        # stay retrievable instead of the doc vanishing from the index
         stale = self.index.live_rows(ids)
+        self.index.add(emb, ids=ids)
         if stale:
             self.index.remove_rows(stale)  # replace, don't shadow
-        self.index.add(emb, ids=ids)
         return len(ids)
 
     def remove(self, doc_ids: list) -> int:

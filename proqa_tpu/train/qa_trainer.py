@@ -449,12 +449,15 @@ class QATrainer:
         buckets = getattr(sampler.cfg, "pad_buckets", False)
         for batch in self._prefetched(sampler.eval_load(self.query_encoder(), t.eval_k, B)):
             # pad_buckets (serving): pad the reader forward to the group's
-            # power-of-two bucket, floored at the data-mesh size (_eval_step
-            # DP-shards the batch dim, so it must stay divisible)
-            target = (
-                max(pad_bucket(len(batch["id"]), B), self.mesh.shape[DATA_AXIS])
-                if buckets else B
-            )
+            # power-of-two bucket, rounded UP to a multiple of the data-mesh
+            # size (_eval_step DP-shards the batch dim, so it must stay
+            # divisible — a max() floor breaks on non-power-of-two meshes,
+            # e.g. bucket 4 on a 3-device mesh)
+            if buckets:
+                mesh_n = self.mesh.shape[DATA_AXIS]
+                target = -(-pad_bucket(len(batch["id"]), B) // mesh_n) * mesh_n
+            else:
+                target = B
             net, rows = batch_pad(batch["net_input"], target)
             out = self._eval_step(self.state.params, self._device_batch(net))
             start = np.asarray(out["start"])[:rows]
