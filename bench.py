@@ -5,8 +5,9 @@ reference's other hot workloads as driver-verifiable sub-benches in `detail`:
   point (/root/reference/retrieval/eval_retrieval.py:98-104: FAISS
   IndexFlatIP, 128-d, top-80, ~2032 WebQuestions-test queries; BASELINE.md
   north star: >10k queries/sec on a v5e-8) at production corpus scale.
-* exact MIPS at 16.8M rows (4 GiB index, ~Wikipedia paragraph-corpus scale)
-  — regression-tracks the sub-linear scaling claim (round-2 VERDICT weak #4).
+* exact MIPS at 16.8M / 33.6M rows (4 / 8.6 GiB bf16 index) and 67.1M rows
+  int8 — regression-track sub-linear scaling up to the single-chip capacity
+  points (the reference's whole-Wikipedia corpus is ~21M paragraphs).
 * corpus encode tok/s (workload #1, /root/reference/retrieval/get_embed.py:
   138-172): BERT-base context-tower inference, bf16 + flash attention, at
   the fixed 256x512 point AND length-bucketed over a realistic paragraph
@@ -14,9 +15,23 @@ reference's other hot workloads as driver-verifiable sub-benches in `detail`:
 * retriever train step ms (/root/reference/retrieval/train_retriever.py:
   198-231): 80-pair two-tower step (32-tok queries, 512-tok paragraphs),
   remat + tuned flash attention — the round-1 500 ms headline.
-* QA joint train step (4 q x 5 paras x 512, M=5000) and QA wall-clock per
-  step with online retrieval + prefetch (the reference's third workload,
-  /root/reference/qa/train_retrieve_qa.py:184-217; round-2 VERDICT miss #3).
+* QA joint train step (4 q x 5 paras x 512, M=5000), QA wall-clock per step
+  with online retrieval + prefetch, and warm serving p50/p95 + load probe
+  (the reference's third workload, /root/reference/qa/train_retrieve_qa.py:
+  184-217; round-2 VERDICT miss #3, round-3 weak #4).
+
+Failure envelope (round-4 VERDICT #1 — the r04 run hit the driver timeout
+and recorded NOTHING):
+* The full result JSON line is printed after the headline and re-printed
+  after EVERY sub-bench with the detail accumulated so far — whatever kills
+  the process, the tail's last JSON line carries everything measured.
+* An internal wall-clock budget (BENCH_BUDGET_S, default 1500) skips
+  remaining sub-benches once exceeded, recording "<name>": "skipped_budget".
+* Synthetic corpora are generated ON DEVICE (jax.random.normal chunks into a
+  donated dynamic_update_slice buffer) — the r04 design host-generated
+  ~21 GiB and pushed it through the ~105 MB/s tunnel.
+* Sub-benches run cheap -> giant so a timeout eats the giants last, and the
+  two qa_world consumers share ONE world build.
 
 Correctness of the exact search is pinned by tests/test_mips.py; here we
 verify a sample against naive device search and measure throughput.
@@ -25,8 +40,9 @@ Baseline for `vs_baseline`: the reference's CPU exact search modeled as
 numpy `dot + argpartition` (BASELINE.json's description of eval_retrieval),
 measured on a corpus slice on this host and scaled linearly to full N.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
-Set BENCH_FAST=1 to skip everything but the headline MIPS bench.
+Prints the JSON line {"metric", "value", "unit", "vs_baseline", "detail"}
+(re-printed cumulatively; parse the LAST one). Set BENCH_FAST=1 to skip
+everything but the headline MIPS bench.
 """
 from __future__ import annotations
 
@@ -42,6 +58,81 @@ Q = 2048            # ~WebQuestions-test (2032) padded to a power of two
 K = 80
 ITERS = 8
 BASELINE_SLICE = 131_072
+
+_T0 = time.monotonic()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _budget_s() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _device_corpus(n: int, seed: int, chunks: int = 8, dtype=None):
+    """Generate an [n, D] random corpus ON DEVICE: per-chunk
+    jax.random.normal into a donated dynamic_update_slice buffer. Replaces
+    r04's host-side generation + ~105 MB/s tunnel upload (multi-GiB, minutes
+    per giant sub) with pure device work (sub-second)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    assert n % chunks == 0
+    chunk = n // chunks
+    place = jax.jit(
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    gen = jax.jit(lambda k: jax.random.normal(k, (chunk, D), dtype))
+    corpus = jnp.zeros((n, D), dtype)
+    key = jax.random.PRNGKey(seed)
+    for i in range(chunks):
+        corpus = place(corpus, gen(jax.random.fold_in(key, i)),
+                       jnp.int32(i * chunk))
+    return corpus
+
+
+def _device_corpus_int8(n: int, qb: int, seed: int, chunks: int = 32):
+    """On-device generate + per-block int8 quantize (ops/quant.py scheme:
+    symmetric absmax over blocks of qb consecutive rows). Returns
+    (codes int8 [n, D], scales f32 [n // qb])."""
+    import jax
+    import jax.numpy as jnp
+
+    assert n % chunks == 0
+    chunk = n // chunks
+    assert chunk % qb == 0  # blocks never straddle chunk boundaries
+
+    place = jax.jit(
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    place_s = jax.jit(
+        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i,)),
+        donate_argnums=0,
+    )
+
+    @jax.jit
+    def gen_quant(k):
+        part = jax.random.normal(k, (chunk, D), jnp.float32)
+        amax = jnp.max(jnp.abs(part.reshape(chunk // qb, qb * D)), axis=1)
+        sc = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+        codes = jnp.clip(
+            jnp.round(part / jnp.repeat(sc, qb)[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return codes, sc
+
+    corpus = jnp.zeros((n, D), jnp.int8)
+    scales = jnp.zeros((n // qb,), jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    for i in range(chunks):
+        codes, sc = gen_quant(jax.random.fold_in(key, i))
+        corpus = place(corpus, codes, jnp.int32(i * chunk))
+        scales = place_s(scales, sc, jnp.int32(i * chunk // qb))
+    return corpus, scales
 
 
 def _numpy_baseline_qps(xq: np.ndarray, xb_slice: np.ndarray) -> float:
@@ -193,13 +284,13 @@ def _bench_qa_step() -> dict:
     return {"qa_step_ms": round((time.perf_counter() - t0) / 6 * 1e3, 1)}
 
 
-def _bench_qa_wall() -> dict:
+def _bench_qa_wall(w) -> dict:
     """QA wall-clock per training step with ONLINE retrieval: real sampler
     (6k-para world so the top-5000 candidate shape is the production one),
     span matching on the host, prefetch thread on (default). The reference's
-    per-question CPU<->GPU ping-pong workload, batched (SURVEY.md §3.4)."""
-    import sys
-
+    per-question CPU<->GPU ping-pong workload, batched (SURVEY.md §3.4).
+    `w` is the shared qa_world (built once per bench run; _bench_serve
+    reuses it)."""
     import jax
     import jax.numpy as jnp
 
@@ -209,15 +300,8 @@ def _bench_qa_wall() -> dict:
     from proqa_tpu.qa.sampler import OnlineSampler, OnlineSamplerConfig
     from proqa_tpu.train.qa_trainer import QATrainer, QATrainerConfig
 
-    # shared world definition: identical by construction to the one the A/B
-    # and decomposition tools (tools/qa_wall_ab.py etc.) measure, so the
-    # cross-tool numbers in ROADMAP.md stay comparable
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-    from qa_world import build_qa_world
-
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    w = build_qa_world()
     root, index = w["root"], w["index"]
 
     on_tpu = jax.default_backend() == "tpu"
@@ -260,6 +344,24 @@ def _bench_qa_wall() -> dict:
     }
 
 
+def _bench_serve(w) -> dict:
+    """Warm QA serving on the shared qa_world — the `proqa serve`
+    steady-state path (round-3 VERDICT weak #4: driver-track serving so the
+    /answer path can't silently regress). Two sub-measurements over ONE
+    world: per-request p50/p95 latency (question_batch=1), and loaded
+    throughput — 16 questions dispatched one-by-one (serial) vs as one
+    MicroBatcher-style drain (batch16, pad_buckets sampler)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import serve_latency
+    import serve_load_probe
+
+    out = serve_latency.measure(w)
+    out.update(serve_load_probe.measure(w, rounds=3, http=False))
+    return out
+
+
 def _bench_mips_16m() -> dict:
     """Exact MIPS at 16.8M x 128 (4 GiB bf16 index): regression-tracks the
     sub-linear scaling claim at ~Wikipedia corpus scale."""
@@ -270,18 +372,8 @@ def _bench_mips_16m() -> dict:
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
 
     n16 = 4 * N
-    rng = np.random.default_rng(7)
-    parts = [
-        jax.device_put(jnp.asarray(
-            rng.standard_normal((n16 // 8, D), dtype=np.float32), jnp.bfloat16
-        ))
-        for _ in range(8)
-    ]
-    corpus = jnp.concatenate(parts)
-    del parts
-    queries = jax.device_put(jnp.asarray(
-        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
-    ))
+    corpus = _device_corpus(n16, seed=7, chunks=8)
+    queries = jax.random.normal(jax.random.PRNGKey(70), (Q, D), jnp.bfloat16)
 
     def search():
         # block=32 here (not the 4.2M-tuned 16): bmax3 is N/block*Q*4 bytes
@@ -331,24 +423,8 @@ def _bench_mips_33m() -> dict:
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
 
     n33 = 8 * N
-    rng = np.random.default_rng(11)
-    # donated in-place slice updates into ONE preallocated buffer: a
-    # concatenate of live parts would need 2x 8.6 GiB simultaneously
-    place = jax.jit(
-        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
-        donate_argnums=0,
-    )
-    corpus = jnp.zeros((n33, D), jnp.bfloat16)
-    chunk = n33 // 16
-    for i in range(16):
-        part = jnp.asarray(
-            rng.standard_normal((chunk, D), dtype=np.float32), jnp.bfloat16
-        )
-        corpus = place(corpus, part, jnp.int32(i * chunk))
-        del part
-    queries = jax.device_put(jnp.asarray(
-        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
-    ))
+    corpus = _device_corpus(n33, seed=11, chunks=16)
+    queries = jax.random.normal(jax.random.PRNGKey(71), (Q, D), jnp.bfloat16)
 
     def search():
         return mips_topk_pallas_v2(
@@ -381,7 +457,7 @@ def _bench_mips_33m() -> dict:
 def _bench_mips_67m_int8() -> dict:
     """Exact-in-quantized-scores MIPS at 67.1M x 128 int8 (8.6 GiB index +
     268 MB scales — the int8 single-chip max, 3.2x the reference's
-    whole-Wikipedia corpus). Per-row scales multiply in-kernel before the
+    whole-Wikipedia corpus). Per-block scales multiply in-kernel before the
     block max-reduce (ops/quant.py, --int8-index). block=128 keeps bmax3 at
     4.3 GiB; q_chunk=256 bounds the rescore gather; ~14.5 GiB total HBM.
     recall here is vs the same int8 representation searched naively (the
@@ -392,32 +468,12 @@ def _bench_mips_67m_int8() -> dict:
 
     from proqa_tpu.ops.mips import mips_topk_reference
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
-    from proqa_tpu.ops.quant import quantize_rows
+    from proqa_tpu.ops.quant import expand_scales
 
     n67 = 16 * N
     qb = 128                     # quantization block == kernel reduce block
-    rng = np.random.default_rng(13)
-    place = jax.jit(
-        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i, jnp.int32(0))),
-        donate_argnums=0,
-    )
-    place_s = jax.jit(
-        lambda c, p, i: jax.lax.dynamic_update_slice(c, p, (i,)),
-        donate_argnums=0,
-    )
-    corpus = jnp.zeros((n67, D), jnp.int8)
-    scales = jnp.zeros((n67 // qb,), jnp.float32)
-    chunk = n67 // 16            # chunk % qb == 0: blocks never straddle
-    for i in range(16):
-        part = rng.standard_normal((chunk, D), dtype=np.float32)
-        q8, sc = quantize_rows(part, block=qb)
-        del part
-        corpus = place(corpus, jnp.asarray(q8), jnp.int32(i * chunk))
-        scales = place_s(scales, jnp.asarray(sc), jnp.int32(i * chunk // qb))
-        del q8, sc
-    queries = jax.device_put(jnp.asarray(
-        rng.standard_normal((Q, D), dtype=np.float32), jnp.bfloat16
-    ))
+    corpus, scales = _device_corpus_int8(n67, qb, seed=13, chunks=32)
+    queries = jax.random.normal(jax.random.PRNGKey(72), (Q, D), jnp.bfloat16)
 
     def search():
         return mips_topk_pallas_v2(
@@ -437,9 +493,8 @@ def _bench_mips_67m_int8() -> dict:
     # exact reference, chunked: a whole-corpus [32, 67M] f32 score matrix
     # would be 8.6 GiB on top of the index — merge per-chunk exact top-Ks
     # (global top-K is the top-K of the per-chunk top-Ks)
-    from proqa_tpu.ops.quant import expand_scales
-
     sub = 32
+    chunk = n67 // 16
     cv, ci = [], []
     for i in range(16):
         sc_chunk = jax.lax.dynamic_slice_in_dim(
@@ -463,26 +518,6 @@ def _bench_mips_67m_int8() -> dict:
         "mips67M_int8_qps": round(Q / ms * 1e3, 1),
         "mips67M_int8_self_recall": round(recall, 4),
     }
-
-
-def _bench_serve() -> dict:
-    """Warm QA serving on the shared qa_world — the `proqa serve`
-    steady-state path (round-3 VERDICT weak #4: driver-track serving so the
-    /answer path can't silently regress). Two sub-measurements over ONE
-    world: per-request p50/p95 latency (question_batch=1), and loaded
-    throughput — 16 questions dispatched one-by-one (serial) vs as one
-    MicroBatcher-style drain (batch16, pad_buckets sampler)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-    import serve_latency
-    import serve_load_probe
-    from qa_world import build_qa_world
-
-    w = build_qa_world()
-    out = serve_latency.measure(w)
-    out.update(serve_load_probe.measure(w, rounds=3, http=False))
-    return out
 
 
 def _bench_train_step() -> dict:
@@ -569,13 +604,14 @@ def main() -> None:
 
     _wait_for_backend()
 
+    # host slice for the numpy CPU baseline only; the device corpus is
+    # generated on device (different rows — both are iid normal, and the
+    # baseline is a throughput model, not a correctness comparison)
     rng = np.random.default_rng(0)
-    # generate f32 directly: float64 gen + cast costs ~2x RAM and wall on
-    # this 1-core host (the driver's bench run shares it)
-    xb = rng.standard_normal((N, D), dtype=np.float32)
     xq = rng.standard_normal((Q, D), dtype=np.float32)
+    xb_slice = rng.standard_normal((BASELINE_SLICE, D), dtype=np.float32)
 
-    corpus = jax.device_put(jnp.asarray(xb, jnp.bfloat16))
+    corpus = _device_corpus(N, seed=0, chunks=4)
     queries = jax.device_put(jnp.asarray(xq, jnp.bfloat16))
 
     def search():
@@ -618,7 +654,7 @@ def main() -> None:
         len(set(got[i]) & set(want[i])) / K for i in range(sub)
     ])
 
-    baseline_qps = _numpy_baseline_qps(xq, xb[:BASELINE_SLICE])
+    baseline_qps = _numpy_baseline_qps(xq, xb_slice)
 
     detail = {
         "search_ms_amortized": round(dt * 1e3, 2),
@@ -628,21 +664,6 @@ def main() -> None:
         "corpus": f"{N}x{D} bf16",
     }
 
-    # free the 1 GiB corpus before the scale/BERT sub-benches
-    del corpus, queries, vals, idx
-
-    if not os.environ.get("BENCH_FAST"):
-        subs = (
-            _bench_mips_16m, _bench_mips_33m, _bench_mips_67m_int8,
-            _bench_encode, _bench_encode_bucketed, _bench_train_step,
-            _bench_qa_step, _bench_qa_wall, _bench_serve,
-        )
-        for sub in subs:
-            try:
-                detail.update(sub())
-            except Exception as e:  # a sub-bench failure must not hide the headline
-                detail[sub.__name__ + "_error"] = f"{type(e).__name__}: {e}"[:200]
-
     result = {
         "metric": f"exact_mips_top{K}_qps_{N}x{D}",
         "value": round(qps, 1),
@@ -650,7 +671,60 @@ def main() -> None:
         "vs_baseline": round(qps / baseline_qps, 1),
         "detail": detail,
     }
-    print(json.dumps(result))
+
+    def emit():
+        # re-printed cumulatively after every sub-bench: whatever kills the
+        # process, the tail's LAST JSON line carries everything measured
+        detail["elapsed_s"] = round(_elapsed(), 1)
+        print(json.dumps(result), flush=True)
+
+    emit()
+
+    # free the 1 GiB corpus before the scale/BERT sub-benches
+    del corpus, queries, vals, idx
+
+    if not os.environ.get("BENCH_FAST"):
+        budget = _budget_s()
+        qa_world = {}
+
+        def _shared_world():
+            # ONE qa_world build shared by qa_wall and serve (r04 built two)
+            if "w" not in qa_world:
+                import sys
+
+                sys.path.insert(
+                    0, os.path.join(os.path.dirname(__file__), "tools")
+                )
+                from qa_world import build_qa_world
+
+                qa_world["w"] = build_qa_world()
+            return qa_world["w"]
+
+        # (fn, conservative worst-case seconds incl. fresh remote compiles),
+        # ordered cheap -> giant so a driver timeout eats the giants last
+        subs = (
+            (_bench_encode, 90),
+            (_bench_encode_bucketed, 90),
+            (_bench_train_step, 150),
+            (_bench_qa_step, 150),
+            (lambda: _bench_qa_wall(_shared_world()), 180, "_bench_qa_wall"),
+            (lambda: _bench_serve(_shared_world()), 150, "_bench_serve"),
+            (_bench_mips_16m, 240),
+            (_bench_mips_33m, 300),
+            (_bench_mips_67m_int8, 420),
+        )
+        for entry in subs:
+            fn, est = entry[0], entry[1]
+            name = entry[2] if len(entry) > 2 else fn.__name__
+            if _elapsed() + est > budget:
+                detail[name] = "skipped_budget"
+                emit()
+                continue
+            try:
+                detail.update(fn())
+            except Exception as e:  # a sub-bench failure must not hide the headline
+                detail[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            emit()
 
 
 if __name__ == "__main__":
