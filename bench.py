@@ -415,7 +415,10 @@ def _bench_mips_33m() -> dict:
     single-chip max, ~1.6x the reference's whole-Wikipedia corpus of ~21M
     paragraphs which /root/reference/retrieval/eval_retrieval.py:99-104
     searches exactly). block=64 keeps the stage-1 block-maxima buffer
-    (N/block * Qpad * 4 B) at 4.3 GiB so index + buffer fit 16 GiB HBM."""
+    (N/block * Qpad * 4 B) at 4.3 GiB so index + buffer fit 16 GiB HBM.
+    q_chunk=256 bounds the stage-3 rescore gather: unchunked it would
+    materialize [2048, 80, 64, 128] bf16 = 2.7 GiB on top of the 12.9 GiB
+    corpus+bmax3 — the r05-run1 RESOURCE_EXHAUSTED."""
     import jax
     import jax.numpy as jnp
 
@@ -429,7 +432,7 @@ def _bench_mips_33m() -> dict:
     def search():
         return mips_topk_pallas_v2(
             queries, corpus, K, block=64, group=128, tile_q=2048,
-            sub_chunks=16,
+            sub_chunks=16, q_chunk=256,
         )
 
     vals, idx = search()
