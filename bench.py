@@ -581,6 +581,40 @@ def _bench_train_step() -> dict:
             "train_shape": f"{b}x({tq}q+{tc}c)"}
 
 
+_SUB_FNS = {
+    "mips33m": lambda: _bench_mips_33m(),
+    "mips67m_int8": lambda: _bench_mips_67m_int8(),
+}
+
+
+def _isolated(sub_name: str, timeout_s: float) -> dict:
+    """Run a giant sub-bench in a FRESH subprocess (python bench.py --sub X).
+
+    Total HBM isolation: r05-run2 showed the 33M/67M subs RESOURCE_EXHAUSTED
+    in-process — earlier subs' residue (the shared qa_world trainer/serve
+    state plus allocator fragmentation) shaved the ~13-15 GiB they need —
+    while the identical code passed standalone (tools/bigmem_probe.py,
+    logs/bigmem_probe.log). A subprocess also contains any crash: the parent
+    records the error string and keeps emitting the cumulative JSON line."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--sub", sub_name],
+        capture_output=True, text=True, timeout=timeout_s,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise RuntimeError(
+        f"--sub {sub_name}: rc={p.returncode} "
+        f"stderr={p.stderr.strip()[-180:]}"
+    )
+
+
 def _wait_for_backend(tries: int = 8, delay_s: float = 45.0) -> None:
     """The tunneled TPU backend has transient multi-minute outages; a bench
     run that lands in one should wait it out, not crash with no JSON line."""
@@ -599,6 +633,13 @@ def _wait_for_backend(tries: int = 8, delay_s: float = 45.0) -> None:
 
 
 def main() -> None:
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--sub":
+        _wait_for_backend()
+        print(json.dumps(_SUB_FNS[sys.argv[2]]()), flush=True)
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -713,8 +754,12 @@ def main() -> None:
             (lambda: _bench_qa_wall(_shared_world()), 180, "_bench_qa_wall"),
             (lambda: _bench_serve(_shared_world()), 150, "_bench_serve"),
             (_bench_mips_16m, 240),
-            (_bench_mips_33m, 300),
-            (_bench_mips_67m_int8, 420),
+            # giants run subprocess-isolated (see _isolated); drop the shared
+            # qa_world first so even the parent's residue is minimal
+            (lambda: (qa_world.clear(),
+                      _isolated("mips33m", 420))[1], 300, "_bench_mips_33m"),
+            (lambda: _isolated("mips67m_int8", 540), 420,
+             "_bench_mips_67m_int8"),
         )
         for entry in subs:
             fn, est = entry[0], entry[1]

@@ -103,7 +103,26 @@ def _bmax3_kernel_scaled(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *,
                 block=block, tq=tq, group=group, sub=sub)
 
 
-def _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *, block, tq, group, sub):
+def _bmax3_kernel_bounded(qt_ref, c_ref, smax_ref, smin_ref, b3_ref, g_ref, *,
+                          block, tq, group, sub):
+    """PER-ROW-quantized-corpus variant: the corpus carries per-row int8
+    scales (better representation than per-block: a small-norm row no longer
+    loses mantissa to a large-norm block-mate), but a per-row operand cannot
+    ride the kernel (see _bmax3_kernel_scaled). Instead the kernel emits a
+    per-block UPPER BOUND of the row-scaled scores from two per-block lane
+    vectors: for unscaled block max m, s_max*m if m >= 0 else s_min*m (both
+    bound s_r*d_r for every row r: d_r <= m, and the sign of m picks which
+    extreme scale maximizes). Stage 2 selects blocks by bound; stage 3
+    rescores with EXACT per-row scales (mips.rescore_block_candidates
+    row_scales — only kb*block candidate scales are ever gathered). Bounds
+    are not achieved scores, so the block-max exactness certificate weakens
+    to a heuristic; measured recall lives in tools/int8_rowscale_ab.py."""
+    _bmax3_body(qt_ref, c_ref, smax_ref, b3_ref, g_ref,
+                block=block, tq=tq, group=group, sub=sub, smin_ref=smin_ref)
+
+
+def _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *, block, tq, group, sub,
+                smin_ref=None):
     outs = []
     rows = group * block
     step = rows // sub
@@ -115,7 +134,9 @@ def _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *, block, tq, group, sub):
         outs.append(jnp.max(s.reshape(step // block, block, tq), axis=1))
     bm = outs[0] if sub == 1 else jnp.concatenate(outs, axis=0)  # [G, TQ]
     bmt = bm.T                                              # [TQ, G]
-    if sc_ref is not None:
+    if smin_ref is not None:                                # per-row bound
+        bmt = jnp.where(bmt >= 0.0, bmt * sc_ref[0], bmt * smin_ref[0])
+    elif sc_ref is not None:
         bmt = bmt * sc_ref[0]                               # [1, G] lane bcast
     b3_ref[0] = bmt
     g_ref[0, 0] = jnp.max(bmt, axis=1)
@@ -133,6 +154,7 @@ def block_maxima_grouped(
     tile_q: int = 512,
     sub_chunks: int = 1,
     scales: jax.Array | None = None,   # [N/block] f32 per-BLOCK scales (int8)
+    scale_bounds: tuple | None = None,  # ([N/block] s_max, [N/block] s_min)
     interpret: bool = False,
 ):
     """Fused scoring + two-level maxima, laid out for cheap per-query
@@ -163,7 +185,20 @@ def block_maxima_grouped(
         ),
     ]
     operands = [qt, corpus]
-    if scales is None:
+    assert scales is None or scale_bounds is None
+    if scale_bounds is not None:
+        smax, smin = scale_bounds
+        assert smax.shape == smin.shape == (n // block,)
+        kernel = functools.partial(
+            _bmax3_kernel_bounded, block=block, tq=tile_q, group=group,
+            sub=sub_chunks,
+        )
+        for s in (smax, smin):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, group), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ))
+            operands.append(s.astype(jnp.float32).reshape(cg, 1, group))
+    elif scales is None:
         kernel = functools.partial(
             _bmax3_kernel, block=block, tq=tile_q, group=group, sub=sub_chunks
         )
@@ -229,6 +264,7 @@ def mips_topk_pallas_v2(
     sub_chunks: int = 1,
     n_valid: int | None = None,
     scales: jax.Array | None = None,
+    row_scales: jax.Array | None = None,
     interpret: bool = False,
     fast_select: bool | tuple = False,
     rescore_impl: str = "take",
@@ -257,6 +293,13 @@ def mips_topk_pallas_v2(
     scales: per-BLOCK f32 [ceil(N/block)] for an int8-quantized corpus
     (ops/quant.py, quantization block == this `block`) — results are then
     exact w.r.t. the scaled quantized scores.
+
+    row_scales: per-ROW f32 [N] alternative (quant_block=1 — the best int8
+    representation). Stages 1-2 then select blocks by a sign-aware per-block
+    UPPER BOUND (see _bmax3_kernel_bounded) and stage 3 rescores with the
+    exact per-row scales — selection is heuristic (a bound is not an achieved
+    score), with recall measured in tools/int8_rowscale_ab.py; widen `kb`
+    to tighten. Mutually exclusive with `scales`.
     """
     q, d = queries.shape
     n0 = corpus.shape[0]
@@ -267,9 +310,13 @@ def mips_topk_pallas_v2(
     if pad:
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
     n = corpus.shape[0]
+    assert scales is None or row_scales is None
     if scales is not None and scales.shape[0] < n // block:
         scales = jnp.pad(scales, ((0, n // block - scales.shape[0]),),
                          constant_values=1.0)
+    if row_scales is not None and row_scales.shape[0] < n:
+        row_scales = jnp.pad(row_scales, ((0, n - row_scales.shape[0]),),
+                             constant_values=1.0)
     nb = n // block
     cg = n // rows_per_group
     if kb is None:
@@ -278,9 +325,14 @@ def mips_topk_pallas_v2(
     kb_b = min(kb, nb)          # blocks to visit
     assert kb_g >= min(k, cg) and kb_b >= min(k, nb)
 
+    scale_bounds = None
+    if row_scales is not None:
+        rs_blocked = row_scales.astype(jnp.float32).reshape(nb, block)
+        scale_bounds = (rs_blocked.max(axis=1), rs_blocked.min(axis=1))
     bmax3, gmax = block_maxima_grouped(
         queries, corpus, block=block, group=group, tile_q=tile_q,
-        sub_chunks=sub_chunks, scales=scales, interpret=interpret,
+        sub_chunks=sub_chunks, scales=scales, scale_bounds=scale_bounds,
+        interpret=interpret,
     )
 
     static_aligned = isinstance(n_valid, int) and n_valid == n
@@ -301,6 +353,10 @@ def mips_topk_pallas_v2(
             )                                               # [Q, block]
             if scales is not None:
                 s = s * jax.lax.dynamic_slice_in_dim(scales, sb, 1, axis=0)
+            elif row_scales is not None:
+                s = s * jax.lax.dynamic_slice_in_dim(
+                    row_scales, sb * block, block
+                )[None, :]
             row_valid = (sb * block + jnp.arange(block)) < n_valid
             patched = jnp.max(
                 jnp.where(row_valid[None, :], s, NEG_INF), axis=1
@@ -331,7 +387,7 @@ def mips_topk_pallas_v2(
         return rescore_block_candidates(
             q_emb, blocks_ids, corpus_blocks, k=k, block=block,
             n_valid=n_valid, select_fn=_sels[2], impl=rescore_impl,
-            block_scales=scales, interpret=interpret,
+            block_scales=scales, row_scales=row_scales, interpret=interpret,
         )
 
     if q_chunk is None or q <= q_chunk:

@@ -267,6 +267,80 @@ def test_pallas_v2_int8_scales_matches_dequantized():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_block_maxima_grouped_row_scale_bounds():
+    """Bounded kernel (per-ROW quantization): emitted per-block values equal
+    the sign-aware bound formula AND dominate the true row-scaled block max."""
+    from proqa_tpu.ops.pallas_mips import block_maxima_grouped
+    from proqa_tpu.ops.quant import quantize_rows
+    rng = np.random.default_rng(42)
+    n, d, q, block, group = 1024, 128, 16, 8, 16
+    emb = (rng.standard_normal((n, d)) * rng.uniform(0.25, 4.0, (n, 1))).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    q8, rs = quantize_rows(emb, block=1)
+    nb = n // block
+    smax = rs.reshape(nb, block).max(1)
+    smin = rs.reshape(nb, block).min(1)
+    b3, g = block_maxima_grouped(
+        queries, jnp.asarray(q8), block=block, group=group, tile_q=16,
+        sub_chunks=2,
+        scale_bounds=(jnp.asarray(smax), jnp.asarray(smin)),
+        interpret=True,
+    )
+    raw = np.asarray(queries) @ q8.astype(np.float32).T            # unscaled
+    m = raw.reshape(q, nb, block).max(-1)                          # [Q, NB]
+    want = np.where(m >= 0, m * smax[None, :], m * smin[None, :])
+    cg = n // (block * group)
+    got = np.asarray(b3).transpose(1, 0, 2).reshape(q, cg * group)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    true_max = (raw * rs[None, :]).reshape(q, nb, block).max(-1)
+    assert (got >= true_max - 1e-3).all()                          # upper bound
+
+
+def test_pallas_v2_row_scales_end_to_end():
+    """Per-row-quantized search contract: returned values are EXACT
+    row-scaled scores of the returned rows, and with kb wide enough the
+    bound-selected results match the per-row dequantized reference.
+
+    Selection by bound at kb == k is HEURISTIC and measurably lossy (block
+    maxima are tightly packed, so the multiplicative smax/smin distortion
+    scrambles their ranking — recall 0.22-0.36 at kb=k on norm-varied data,
+    1.0 at kb=16k; tools/int8_rowscale_ab.py records the hardware disproof):
+    that is why per-block quantization stays the production int8 scheme."""
+    from proqa_tpu.ops.quant import quantize_rows
+    rng = np.random.default_rng(43)
+    n, d, q, k, block = 5003, 128, 32, 9, 16   # ragged: pad + straddler
+    emb = (rng.standard_normal((n, d)) * rng.uniform(0.1, 10.0, (n, 1))).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    q8, rs = quantize_rows(emb, block=1)
+    want_v, want_i = mips_topk_reference(
+        queries, jnp.asarray(q8, jnp.float32), k, scales=jnp.asarray(rs)
+    )
+    got_v, got_i = mips_topk_pallas_v2(
+        queries, jnp.asarray(q8), k, block=block, group=8, tile_q=32,
+        sub_chunks=2, row_scales=jnp.asarray(rs), kb=16 * k, interpret=True,
+    )
+    got_v, got_i = np.asarray(got_v), np.asarray(got_i)
+    want_v, want_i = np.asarray(want_v), np.asarray(want_i)
+    # every returned value is the exact scaled score of its returned row
+    raw = np.asarray(queries) @ q8.astype(np.float32).T
+    true = np.take_along_axis(raw * rs[None, :], got_i, axis=1)
+    np.testing.assert_allclose(got_v, true, rtol=1e-4, atol=1e-4)
+    recall = np.mean([
+        len(set(got_i[r]) & set(want_i[r])) / k for r in range(q)
+    ])
+    assert recall == 1.0, recall
+    # and the heuristic's narrow-kb loss is real (documents the disproof)
+    _, narrow_i = mips_topk_pallas_v2(
+        queries, jnp.asarray(q8), k, block=block, group=8, tile_q=32,
+        sub_chunks=2, row_scales=jnp.asarray(rs), interpret=True,
+    )
+    narrow_i = np.asarray(narrow_i)
+    narrow_recall = np.mean([
+        len(set(narrow_i[r]) & set(want_i[r])) / k for r in range(q)
+    ])
+    assert narrow_recall < 0.9, narrow_recall
+
+
 def test_block_maxima_grouped_int8_scales():
     """Kernel-level: scaled block maxima equal numpy maxima of scaled scores."""
     from proqa_tpu.ops.pallas_mips import block_maxima_grouped

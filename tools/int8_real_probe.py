@@ -1,57 +1,44 @@
-"""int8 representation recall on TRAINED-encoder embeddings (round-4 VERDICT
-missing #4 / round-5 task 3).
+"""int8 representation recall on TRAINED-ENCODER embeddings (round-5 VERDICT
+task 3): round 4 measured the per-block int8 index's 0.983-0.986 top-80
+recall on worst-case iid-normal data and ASSERTED "real encoder embeddings
+are friendlier" — this probe turns that into a number, at >=1M rows.
 
-Round 4 measured the int8 index's top-80 recall vs the bf16 representation
-only on worst-case iid-normal vectors (0.983-0.986); "real encoder
-embeddings are friendlier" was asserted, not measured. This probe:
+It also A/Bs two representation refinements against the production per-block
+scheme, interleaved in ONE process (CLAUDE.md: cross-process drift 40%+):
 
-1. trains a small two-tower retriever (contrastive in-batch negatives, the
-   reference recipe /root/reference/retrieval/train_retriever.py:198-231)
-   on synthetic pairs where the query is a subsequence of its paragraph;
-2. encodes 2^20 synthetic paragraphs with the TRAINED context tower (CLS ->
-   128-d projection — the production embedding geometry: anisotropic,
-   norm-clustered, nothing like iid normal);
-3. quantizes per-block int8 (block == the search kernel's envelope block at
-   this N, as DenseIndex pins it) and searches top-80 with the bf16 and the
-   int8 Pallas pipelines, reporting int8-vs-bf16 recall over all queries;
-4. ALSO quantizes per-ROW (block=1) and searches via the XLA blockmax path
-   with row-expanded scales — the recall CEILING any per-row refinement of
-   the kernel (round-4 VERDICT weak #3) could reach. If per-row ~= per-block
-   on these embeddings, the sign-aware-bound kernel rework buys nothing and
-   is recorded as a disproof.
+  bf16         production bf16 index (the recall ground truth)
+  int8_block   per-block scales, exact selection (production int8 scheme)
+  int8_sorted  per-block scales over rows PRE-SORTED by per-row absmax —
+               block-mates then share similar scales, recovering most of the
+               per-row representation at ZERO kernel/search cost (the sort is
+               a build-time permutation; results map back through it)
+  int8_row     per-ROW scales + sign-aware per-block bound selection
+               (_bmax3_kernel_bounded) at kb = k / 4k / 16k — the VERDICT-
+               sketched refinement; CPU-scale data says bound selection
+               scrambles tightly-packed block maxima (recall 0.22-0.36 at
+               kb=k), so this is expected to be the recorded disproof
 
-Timing is interleaved in ONE process (CLAUDE.md: cross-process drift).
+World: 1,048,576 synthetic paragraphs (20 words, 2000-word vocab) encoded by
+a BERT-base retriever contrastively trained IN THIS PROCESS for 150 steps
+(snippet->paragraph pairs) — real encoder geometry, no external data
+(HF_HUB_OFFLINE; no released checkpoints in the image).
 
-Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/int8_real_probe.py
-(TINY=1 for a CPU smoke run.)
+Run: cd /root/repo && python tools/int8_real_probe.py
+CPU smoke: TINY=1 python tools/int8_real_probe.py
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-TINY = bool(os.environ.get("TINY"))
-N = 1 << (14 if TINY else 20)     # corpus rows
-Q = 256 if TINY else 2048
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 K = 80
-D = 128
-SEQ_C, SEQ_Q = 48, 12
-VOCAB = 8192
-TRAIN_STEPS = 2 if TINY else 300
-TRAIN_BATCH = 16 if TINY else 256
-ENC_BATCH = 256 if TINY else 4096
-DEPTH = 8
-
-
-def _make_tokens(rng: np.random.Generator, n: int, seq: int) -> np.ndarray:
-    """Zipf-ish token ids (real corpora are heavy-tailed; uniform ids give
-    the encoder nothing to specialize on)."""
-    r = rng.pareto(1.2, (n, seq))
-    ids = np.clip((r * 40).astype(np.int64), 0, VOCAB - 6) + 5
-    return ids.astype(np.int32)
+DEPTH = 6
 
 
 def main() -> None:
@@ -59,157 +46,182 @@ def main() -> None:
     import jax.numpy as jnp
 
     from proqa_tpu.models.bert import BertConfig
-    from proqa_tpu.models.retriever import encode_context, encode_query, \
-        init_retriever_params
-    from proqa_tpu.ops.mips import envelope_block, mips_topk_blockmax, \
-        mips_topk_reference
+    from proqa_tpu.models.retriever import init_retriever_params
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
     from proqa_tpu.ops.quant import quantize_rows
-    from proqa_tpu.train.optim import init_train_state, make_optimizer
-    from proqa_tpu.train.retriever_trainer import make_train_step
-
-    if TINY:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_default_prng_impl", "rbg")
-    on_tpu = jax.default_backend() == "tpu"
-    res: dict = {"n": N, "q": Q, "tiny": TINY}
-
-    cfg = BertConfig(
-        vocab_size=VOCAB, hidden_size=128, num_layers=4, num_heads=4,
-        intermediate_size=512, max_position_embeddings=64,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        flash_attention=False,  # seq 48 < 128 falls back anyway
+    from proqa_tpu.text.wordpiece import BertTokenizer
+    from proqa_tpu.train.optim import make_optimizer
+    from proqa_tpu.train.retriever_trainer import (
+        init_train_state, make_train_step,
     )
-    params = init_retriever_params(jax.random.PRNGKey(0), cfg)
 
-    # ---- 1. contrastive training on (subsequence-query, paragraph) pairs
+    jax.config.update("jax_default_prng_impl", "rbg")
+    tiny = bool(os.environ.get("TINY"))
+    on_tpu = jax.default_backend() == "tpu"
+    interp = not on_tpu
+    n = 8192 if tiny else 1_048_576
+    q_n = 256 if tiny else 2048
+    steps = 10 if tiny else 150
+    res: dict = {"n": n, "queries": q_n}
+
+    def emit():
+        print(json.dumps(res), flush=True)
+
+    # ---- synthetic text world (numpy-vectorized: 1M python joins only) ----
+    t0 = time.monotonic()
     rng = np.random.default_rng(0)
-    tx = make_optimizer(2e-4, max_grad_norm=2.0)
+    words = np.array([f"tok{i}" for i in range(2000)])
+    import tempfile
+    root = tempfile.mkdtemp(prefix="int8_real_")
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                          + list(words)))
+    tok = BertTokenizer.from_vocab_file(vocab_path)
+    word_ids = np.array(tok.convert_tokens_to_ids(list(words)), np.int32)
+
+    para_words = rng.integers(0, len(words), (n, 20))
+    res["gen_s"] = round(time.monotonic() - t0, 1)
+    emit()
+
+    # token ids derive directly from word indices (single-wordpiece vocab):
+    # paragraphs [CLS] w*20 [SEP] = 22 tokens, queries 6-word snippets
+    cls_id, sep_id = tok.cls_id, tok.sep_id
+    para_ids = np.concatenate([
+        np.full((n, 1), cls_id, np.int32),
+        word_ids[para_words],
+        np.full((n, 1), sep_id, np.int32),
+    ], axis=1)                                               # [n, 22]
+
+    def snippet_ids(rows: np.ndarray, seed: int) -> np.ndarray:
+        r = np.random.default_rng(seed)
+        starts = r.integers(0, 20 - 6, len(rows))
+        sel = para_words[rows]
+        snips = np.stack([sel[i, s:s + 6] for i, s in enumerate(starts)])
+        return np.concatenate([
+            np.full((len(rows), 1), cls_id, np.int32),
+            word_ids[snips],
+            np.full((len(rows), 1), sep_id, np.int32),
+        ], axis=1)                                           # [m, 8]
+
+    # ---- train a retriever on snippet->paragraph pairs ----
+    t0 = time.monotonic()
+    cfg = (BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0,
+                           attention_dropout=0.0, initializer_range=0.1)
+           if tiny else
+           BertConfig(dtype=jnp.bfloat16, remat=True, vocab_size=2005,
+                      initializer_range=0.05))
+    params = init_retriever_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-4 if not tiny else 1e-3)
     state = init_train_state(params, tx)
-    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(cfg, tx))
     key = jax.random.PRNGKey(1)
-    t0 = time.perf_counter()
+    bsz = 16 if tiny else 80
     loss0 = loss1 = None
-    for i in range(TRAIN_STEPS):
-        ids_c = _make_tokens(rng, TRAIN_BATCH, SEQ_C)
-        starts = rng.integers(0, SEQ_C - SEQ_Q, TRAIN_BATCH)
-        ids_q = np.stack([ids_c[b, s:s + SEQ_Q] for b, s in enumerate(starts)])
+    for i in range(steps):
+        rows = rng.integers(0, n, bsz)
         batch = {
-            "input_ids_q": jnp.asarray(ids_q),
-            "input_mask_q": jnp.ones((TRAIN_BATCH, SEQ_Q), jnp.int32),
-            "input_ids_c": jnp.asarray(ids_c),
-            "input_mask_c": jnp.ones((TRAIN_BATCH, SEQ_C), jnp.int32),
+            "input_ids_q": jnp.asarray(snippet_ids(rows, 1000 + i)),
+            "input_ids_c": jnp.asarray(para_ids[rows]),
         }
-        state, m = step(state, batch, jax.random.fold_in(key, i))
+        batch["input_mask_q"] = (batch["input_ids_q"] != 0).astype(jnp.int32)
+        batch["input_mask_c"] = (batch["input_ids_c"] != 0).astype(jnp.int32)
+        state, m = step_fn(state, batch, jax.random.fold_in(key, i))
         if i == 0:
             loss0 = float(m["loss"])
         loss1 = float(m["loss"])
-    res["train_s"] = round(time.perf_counter() - t0, 1)
-    res["train_loss_first_last"] = [round(loss0, 3), round(loss1, 3)]
-    params = state.params
-    print(json.dumps(res), flush=True)
+    res.update(train_s=round(time.monotonic() - t0, 1),
+               loss_first=round(loss0, 3), loss_last=round(loss1, 3))
+    emit()
 
-    # ---- 2. encode the corpus + queries with the trained towers
+    # ---- encode the corpus with the trained context tower ----
+    from proqa_tpu.models.retriever import encode_context, encode_query
+    t0 = time.monotonic()
     enc_c = jax.jit(lambda p, i, m: encode_context(p, cfg, i, m))
+    ebs = 512 if tiny else 4096
+    emb = np.empty((n, 128), np.float32)
+    ids_all = jnp.asarray(para_ids)
+    for s in range(0, n, ebs):
+        chunk = ids_all[s:s + ebs]
+        emb[s:s + ebs] = np.asarray(
+            enc_c(state.params, chunk, (chunk != 0).astype(jnp.int32)),
+            np.float32,
+        )
+    q_rows = rng.integers(0, n, q_n)
+    q_ids = jnp.asarray(snippet_ids(q_rows, 77))
     enc_q = jax.jit(lambda p, i, m: encode_query(p, cfg, i, m))
-    mask_c = jnp.ones((ENC_BATCH, SEQ_C), jnp.int32)
-    t0 = time.perf_counter()
-    parts = []
-    corpus_ids = _make_tokens(rng, N, SEQ_C)
-    for s in range(0, N, ENC_BATCH):
-        parts.append(enc_c(params, jnp.asarray(corpus_ids[s:s + ENC_BATCH]),
-                           mask_c))
-    emb = np.asarray(jnp.concatenate(parts), np.float32)   # [N, 128] f32
-    del parts
-    # queries = trained query tower over subsequences of random corpus rows
-    # (correlated with the corpus, like real questions over real paragraphs)
-    rows = rng.integers(0, N, Q)
-    starts = rng.integers(0, SEQ_C - SEQ_Q, Q)
-    q_ids = np.stack([corpus_ids[r, s:s + SEQ_Q] for r, s in zip(rows, starts)])
-    q_emb = np.asarray(
-        enc_q(params, jnp.asarray(q_ids), jnp.ones((Q, SEQ_Q), jnp.int32)),
+    queries = jnp.asarray(np.asarray(
+        enc_q(state.params, q_ids, (q_ids != 0).astype(jnp.int32)),
         np.float32,
+    ), jnp.bfloat16)
+    res["encode_s"] = round(time.monotonic() - t0, 1)
+    # embedding geometry (how far from iid-normal the real thing is)
+    rn = np.linalg.norm(emb, axis=1)
+    res["row_norm_p5_p50_p95"] = [round(float(np.percentile(rn, p)), 3)
+                                  for p in (5, 50, 95)]
+    am = np.abs(emb).max(axis=1)
+    res["row_absmax_p5_p50_p95"] = [round(float(np.percentile(am, p)), 4)
+                                    for p in (5, 50, 95)]
+    emit()
+
+    # ---- quantize the three ways ----
+    block = 16
+    q8b, scb = quantize_rows(emb, block=block)
+    perm = np.argsort(np.abs(emb).max(axis=1), kind="stable").astype(np.int32)
+    q8s, scs = quantize_rows(emb[perm], block=block)
+    q8r, scr = quantize_rows(emb, block=1)
+
+    corpus_bf16 = jnp.asarray(emb, jnp.bfloat16)
+    del emb
+    dq8r, dscr = jnp.asarray(q8r), jnp.asarray(scr)
+    dev = dict(
+        bf16=(corpus_bf16, {}),
+        int8_block=(jnp.asarray(q8b), dict(scales=jnp.asarray(scb))),
+        int8_sorted=(jnp.asarray(q8s), dict(scales=jnp.asarray(scs))),
+        int8_row_kb1x=(dq8r, dict(row_scales=dscr)),
+        int8_row_kb4x=(dq8r, dict(row_scales=dscr, kb=4 * K, q_chunk=256)),
+        int8_row_kb16x=(dq8r, dict(row_scales=dscr, kb=16 * K, q_chunk=256)),
     )
-    del corpus_ids
-    res["encode_s"] = round(time.perf_counter() - t0, 1)
-    # embedding geometry diagnostics: how far from iid normal is this?
-    norms = np.linalg.norm(emb, axis=1)
-    cov_eig = np.linalg.eigvalsh(np.cov(emb[:65536].T))
-    res["emb_norm_p10_p50_p90"] = [round(float(v), 2) for v in
-                                   np.percentile(norms, [10, 50, 90])]
-    res["emb_eff_rank"] = round(float(cov_eig.sum() ** 2 / (cov_eig ** 2).sum()), 1)
-    print(json.dumps(res), flush=True)
+    del q8b, q8s, q8r
 
-    # ---- 3. quantize + search: bf16 vs per-block int8 (the production pair)
-    qb = envelope_block(N)       # what DenseIndex(dtype="int8") would pin
-    res["quant_block"] = qb
-    codes, scales = quantize_rows(emb, block=qb)
-    codes_row, scales_row = quantize_rows(emb, block=1)
-    corpus_bf16 = jax.device_put(jnp.asarray(emb, jnp.bfloat16))
-    corpus_i8 = jax.device_put(jnp.asarray(codes))
-    d_scales = jax.device_put(jnp.asarray(scales))
-    queries = jax.device_put(jnp.asarray(q_emb, jnp.bfloat16))
-    del codes
+    kw = dict(block=block, group=128 if not tiny else 16,
+              tile_q=2048 if not tiny else 256,
+              sub_chunks=4 if not tiny else 2, interpret=interp)
 
+    outs, compile_s = {}, {}
+    for name, (corpus, extra) in dev.items():
+        t0 = time.monotonic()
+        v, i = mips_topk_pallas_v2(queries, corpus, K, **kw, **extra)
+        got = np.asarray(i)
+        if name == "int8_sorted":
+            got = perm[got]
+        outs[name] = got
+        compile_s[name] = round(time.monotonic() - t0, 1)
+        res[name + "_compile_s"] = compile_s[name]
+        emit()
+
+    truth = outs["bf16"]
+    for name, got in outs.items():
+        if name == "bf16":
+            continue
+        res[name + "_recall_vs_bf16"] = round(float(np.mean(
+            [len(set(got[r]) & set(truth[r])) / K for r in range(q_n)]
+        )), 4)
+    emit()
+
+    # ---- interleaved timing (3 rounds, amortized over DEPTH) ----
     if on_tpu:
-        sub = max(4, qb // 4)
-        variants = {
-            "bf16": lambda: mips_topk_pallas_v2(
-                queries, corpus_bf16, K, block=qb, group=128, tile_q=2048,
-                sub_chunks=sub,
-            ),
-            "int8": lambda: mips_topk_pallas_v2(
-                queries, corpus_i8, K, block=qb, group=128, tile_q=2048,
-                sub_chunks=sub, scales=d_scales,
-            ),
-        }
-    else:
-        variants = {
-            "bf16": lambda: mips_topk_reference(queries, corpus_bf16, K),
-            "int8": lambda: mips_topk_blockmax(
-                queries, corpus_i8, K,
-                scales=jnp.repeat(d_scales, qb)[:N],
-            ),
-        }
-
-    outs = {}
-    for name, fn in variants.items():
-        t0 = time.perf_counter()
-        v, i = fn()
-        np.asarray(i[:1])
-        res[name + "_compile_s"] = round(time.perf_counter() - t0, 1)
-        for _ in range(2):
-            v, i = fn()
-        np.asarray(i)
-        outs[name] = np.asarray(i)
-        print(json.dumps(res), flush=True)
-
-    rounds = {name: [] for name in variants}
-    for _ in range(3):
-        for name, fn in variants.items():
-            t0 = time.perf_counter()
-            for _ in range(DEPTH):
-                v, i = fn()
-            np.asarray(i)
-            rounds[name].append((time.perf_counter() - t0) / DEPTH * 1e3)
-    for name, ts in rounds.items():
-        res[name + "_ms"] = round(float(np.median(ts)), 2)
-
-    res["int8_vs_bf16_recall_trained"] = round(float(np.mean(
-        [len(set(outs["int8"][r]) & set(outs["bf16"][r])) / K for r in range(Q)]
-    )), 4)
-
-    # ---- 4. per-ROW quantization ceiling (XLA path, row scales): the best
-    # any per-row kernel refinement could do on these embeddings
-    row_i8 = jax.device_put(jnp.asarray(codes_row))
-    row_sc = jax.device_put(jnp.asarray(scales_row))
-    del codes_row
-    vr, ir = mips_topk_blockmax(queries, row_i8, K, scales=row_sc)
-    ir = np.asarray(ir)
-    res["int8_perrow_vs_bf16_recall_trained"] = round(float(np.mean(
-        [len(set(ir[r]) & set(outs["bf16"][r])) / K for r in range(Q)]
-    )), 4)
-
+        rounds = {name: [] for name in dev}
+        for _ in range(3):
+            for name, (corpus, extra) in dev.items():
+                t0 = time.perf_counter()
+                for _ in range(DEPTH):
+                    v, i = mips_topk_pallas_v2(queries, corpus, K, **kw,
+                                               **extra)
+                np.asarray(i)
+                rounds[name].append((time.perf_counter() - t0) / DEPTH * 1e3)
+        for name, ts in rounds.items():
+            res[name + "_ms"] = round(float(np.median(ts)), 2)
     print("FINAL", json.dumps(res), flush=True)
 
 
