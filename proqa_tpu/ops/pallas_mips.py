@@ -116,7 +116,7 @@ def _bmax3_kernel_bounded(qt_ref, c_ref, smax_ref, smin_ref, b3_ref, g_ref, *,
     rescores with EXACT per-row scales (mips.rescore_block_candidates
     row_scales — only kb*block candidate scales are ever gathered). Bounds
     are not achieved scores, so the block-max exactness certificate weakens
-    to a heuristic; measured recall lives in tools/int8_rowscale_ab.py."""
+    to a heuristic; measured recall lives in tools/int8_real_probe.py."""
     _bmax3_body(qt_ref, c_ref, smax_ref, b3_ref, g_ref,
                 block=block, tq=tq, group=group, sub=sub, smin_ref=smin_ref)
 
@@ -298,7 +298,7 @@ def mips_topk_pallas_v2(
     representation). Stages 1-2 then select blocks by a sign-aware per-block
     UPPER BOUND (see _bmax3_kernel_bounded) and stage 3 rescores with the
     exact per-row scales — selection is heuristic (a bound is not an achieved
-    score), with recall measured in tools/int8_rowscale_ab.py; widen `kb`
+    score), with recall measured in tools/int8_real_probe.py; widen `kb`
     to tighten. Mutually exclusive with `scales`.
     """
     q, d = queries.shape

@@ -304,7 +304,7 @@ def test_pallas_v2_row_scales_end_to_end():
     Selection by bound at kb == k is HEURISTIC and measurably lossy (block
     maxima are tightly packed, so the multiplicative smax/smin distortion
     scrambles their ranking — recall 0.22-0.36 at kb=k on norm-varied data,
-    1.0 at kb=16k; tools/int8_rowscale_ab.py records the hardware disproof):
+    1.0 at kb=16k; tools/int8_real_probe.py records the hardware disproof):
     that is why per-block quantization stays the production int8 scheme."""
     from proqa_tpu.ops.quant import quantize_rows
     rng = np.random.default_rng(43)

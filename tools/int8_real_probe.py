@@ -50,10 +50,8 @@ def main() -> None:
     from proqa_tpu.ops.pallas_mips import mips_topk_pallas_v2
     from proqa_tpu.ops.quant import quantize_rows
     from proqa_tpu.text.wordpiece import BertTokenizer
-    from proqa_tpu.train.optim import make_optimizer
-    from proqa_tpu.train.retriever_trainer import (
-        init_train_state, make_train_step,
-    )
+    from proqa_tpu.train.optim import init_train_state, make_optimizer
+    from proqa_tpu.train.retriever_trainer import make_train_step
 
     jax.config.update("jax_default_prng_impl", "rbg")
     tiny = bool(os.environ.get("TINY"))
