@@ -19,9 +19,13 @@ scheme, interleaved in ONE process (CLAUDE.md: cross-process drift 40%+):
                kb=k), so this is expected to be the recorded disproof
 
 World: 1,048,576 synthetic paragraphs (20 words, 2000-word vocab) encoded by
-a BERT-base retriever contrastively trained IN THIS PROCESS for 150 steps
-(snippet->paragraph pairs) — real encoder geometry, no external data
-(HF_HUB_OFFLINE; no released checkpoints in the image).
+a 4L/256 retriever contrastively trained IN THIS PROCESS for 2000 steps in
+true f32 (snippet->paragraph pairs; see the collapse notes below) — real
+encoder geometry, no external data (HF_HUB_OFFLINE; no released checkpoints
+in the image). Alongside recall vs the production bf16 index, it computes
+the f32-truth CONTROL (bf16 is itself an 8-bit-mantissa representation —
+int8's loss is only meaningful relative to what bf16 already loses on the
+same geometry) and a tie-tolerant score-mass metric.
 
 Run: cd /root/repo && python tools/int8_real_probe.py
 CPU smoke: TINY=1 python tools/int8_real_probe.py
@@ -53,14 +57,24 @@ def main() -> None:
     from proqa_tpu.train.optim import init_train_state, make_optimizer
     from proqa_tpu.train.retriever_trainer import make_train_step
 
-    jax.config.update("jax_default_prng_impl", "rbg")
     tiny = bool(os.environ.get("TINY"))
+    if tiny:
+        # env vars are too late under the axon sitecustomize (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_prng_impl", "rbg")
+    # TPU matmuls default to fast (bf16-input) MXU passes even for f32
+    # operands — from-scratch contrastive training collapses there exactly
+    # like the bf16 runs (content signal at init is below the mantissa),
+    # while true-f32 CPU learns. Pin full precision for this probe's small
+    # encoder; production finetunes start from pretrained weights and keep
+    # the fast path.
+    jax.config.update("jax_default_matmul_precision", "highest")
     on_tpu = jax.default_backend() == "tpu"
     interp = not on_tpu
     n = 8192 if tiny else 1_048_576
     q_n = 256 if tiny else 2048
-    steps = 10 if tiny else 150
-    res: dict = {"n": n, "queries": q_n}
+    steps = 10 if tiny else 2000
+    res: dict = {"n": n, "queries": q_n, "backend": jax.default_backend()}
 
     def emit():
         print(json.dumps(res), flush=True)
@@ -104,18 +118,35 @@ def main() -> None:
 
     # ---- train a retriever on snippet->paragraph pairs ----
     t0 = time.monotonic()
+    # From-scratch BERT-BASE collapses to the uniform plateau here (two runs:
+    # constant 1e-4 AND warmup->6e-4 both end at loss = ln(80) = 4.382,
+    # acc = 1/80, row-norm p5..p95 = 15.650..15.653 over 1M rows — identical
+    # embeddings, so recall-vs-bf16 is tie-order noise, 0.0). A from-scratch
+    # base model needs real-pretraining budgets to escape that attractor;
+    # what this probe needs is a retriever that actually RANKS, so it trains
+    # a 4-layer/256-hidden encoder to high in-batch acc instead — trained,
+    # non-degenerate geometry (the output space is the same 128-dim).
     cfg = (BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0,
-                           attention_dropout=0.0, initializer_range=0.1)
+                           attention_dropout=0.0, initializer_range=0.1,
+                           vocab_size=2005)
            if tiny else
-           BertConfig(dtype=jnp.bfloat16, remat=True, vocab_size=2005,
-                      initializer_range=0.05))
+           # recipe CPU-swept in tools/collapse_sweep{,2}.py: f32, init 0.05,
+           # lr 3e-4 + 100-step warmup is the config that LEARNS (acc 13x
+           # chance by step 700 at 2L/128; init 0.1 or lr>=1e-3 or a 0.1x
+           # projection init all collapse or stall)
+           BertConfig(dtype=jnp.float32, vocab_size=2005,
+                      hidden_size=256, num_layers=4, num_heads=4,
+                      intermediate_size=1024, max_position_embeddings=64,
+                      initializer_range=0.05, hidden_dropout=0.0,
+                      attention_dropout=0.0))
     params = init_retriever_params(jax.random.PRNGKey(0), cfg)
-    tx = make_optimizer(1e-4 if not tiny else 1e-3)
+    tx = (make_optimizer(1e-3) if tiny else
+          make_optimizer(3e-4, warmup_steps=100, total_steps=steps))
     state = init_train_state(params, tx)
     step_fn = jax.jit(make_train_step(cfg, tx))
     key = jax.random.PRNGKey(1)
     bsz = 16 if tiny else 80
-    loss0 = loss1 = None
+    loss0 = loss1 = acc1 = None
     for i in range(steps):
         rows = rng.integers(0, n, bsz)
         batch = {
@@ -127,9 +158,13 @@ def main() -> None:
         state, m = step_fn(state, batch, jax.random.fold_in(key, i))
         if i == 0:
             loss0 = float(m["loss"])
-        loss1 = float(m["loss"])
+        if i % 100 == 0 or i == steps - 1:
+            print(f"step {i} loss {float(m['loss']):.3f} "
+                  f"acc {float(m['acc']):.3f}", flush=True)
+        loss1, acc1 = float(m["loss"]), float(m["acc"])
     res.update(train_s=round(time.monotonic() - t0, 1),
-               loss_first=round(loss0, 3), loss_last=round(loss1, 3))
+               loss_first=round(loss0, 3), loss_last=round(loss1, 3),
+               acc_last=round(acc1, 3))
     emit()
 
     # ---- encode the corpus with the trained context tower ----
@@ -148,10 +183,11 @@ def main() -> None:
     q_rows = rng.integers(0, n, q_n)
     q_ids = jnp.asarray(snippet_ids(q_rows, 77))
     enc_q = jax.jit(lambda p, i, m: encode_query(p, cfg, i, m))
-    queries = jnp.asarray(np.asarray(
+    qf32 = np.asarray(
         enc_q(state.params, q_ids, (q_ids != 0).astype(jnp.int32)),
         np.float32,
-    ), jnp.bfloat16)
+    )
+    queries = jnp.asarray(qf32, jnp.bfloat16)
     res["encode_s"] = round(time.monotonic() - t0, 1)
     # embedding geometry (how far from iid-normal the real thing is)
     rn = np.linalg.norm(emb, axis=1)
@@ -169,8 +205,36 @@ def main() -> None:
     q8s, scs = quantize_rows(emb[perm], block=block)
     q8r, scr = quantize_rows(emb, block=1)
 
+    # ---- f32 ground truth + per-query score stats (the CONTROL) ----
+    # The recall target below ("bf16") is itself an 8-bit-mantissa
+    # representation. Whether int8's recall loss is real or representation-
+    # parity depends on what bf16 loses vs TRUE f32 scores on the same
+    # geometry — compute exact f32 top-K on device (chunked: [256, n] f32
+    # score slabs), plus the score-mass each variant retrieves.
+    t0 = time.monotonic()
+    cf32 = jnp.asarray(emb)
+    qd = jnp.asarray(qf32)
+
+    @jax.jit
+    def f32_topk(qc):
+        from proqa_tpu.ops.mips import exact_topk
+        s = jnp.einsum("qd,nd->qn", qc, cf32,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return exact_topk(s, K)
+    f32_idx = np.concatenate(
+        [np.asarray(f32_topk(qd[s:s + 256])[1]) for s in range(0, q_n, 256)])
+    del cf32
+    truth_f32_scores = np.einsum(
+        "qkd,qd->qk", emb[f32_idx], qf32)            # [Q, K] true top-K mass
+    truth_mass = truth_f32_scores.sum(-1)
+    res["f32_truth_s"] = round(time.monotonic() - t0, 1)
+    res["top1_top80_gap_rel_p50"] = round(float(np.median(
+        (truth_f32_scores[:, 0] - truth_f32_scores[:, -1])
+        / np.abs(truth_f32_scores[:, 0]).clip(1e-9))), 4)
+    emit()
+
     corpus_bf16 = jnp.asarray(emb, jnp.bfloat16)
-    del emb
     dq8r, dscr = jnp.asarray(q8r), jnp.asarray(scr)
     dev = dict(
         bf16=(corpus_bf16, {}),
@@ -199,12 +263,23 @@ def main() -> None:
         emit()
 
     truth = outs["bf16"]
+    truth_f32_sets = [set(f32_idx[r]) for r in range(q_n)]
     for name, got in outs.items():
-        if name == "bf16":
-            continue
-        res[name + "_recall_vs_bf16"] = round(float(np.mean(
-            [len(set(got[r]) & set(truth[r])) / K for r in range(q_n)]
+        if name != "bf16":
+            res[name + "_recall_vs_bf16"] = round(float(np.mean(
+                [len(set(got[r]) & set(truth[r])) / K for r in range(q_n)]
+            )), 4)
+        # vs TRUE f32 ranking (bf16 included: the production baseline's own
+        # representation loss on this geometry)
+        res[name + "_recall_vs_f32"] = round(float(np.mean(
+            [len(set(got[r]) & truth_f32_sets[r]) / K for r in range(q_n)]
         )), 4)
+        # tie-tolerant quality: true score mass retrieved / true top-K mass
+        # (a swap among near-equal scores costs ~nothing here, as it costs
+        # ~nothing downstream)
+        got_mass = np.einsum("qkd,qd->qk", emb[got], qf32).sum(-1)
+        res[name + "_score_frac"] = round(float(
+            np.mean(got_mass / truth_mass)), 5)
     emit()
 
     # ---- interleaved timing (3 rounds, amortized over DEPTH) ----
