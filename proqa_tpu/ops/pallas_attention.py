@@ -54,8 +54,12 @@ def _keep_mask(seed_ref, b, h, shape, rate):
 
 def _prec(dtype):
     # f32 inputs: force true-f32 MXU passes (default would run a single bf16
-    # pass, ~4e-3 relative noise). bf16 (production) keeps the fast path.
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    # pass, ~4e-3 relative noise). bf16 (production) pins DEFAULT explicitly
+    # — `None` would defer to jax_default_matmul_precision, and a global
+    # "highest" (the from-scratch-training fix, CLAUDE.md) turns bf16 dots
+    # into fp32 contracts that Mosaic rejects at compile ("Bad lhs type").
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def _fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate):

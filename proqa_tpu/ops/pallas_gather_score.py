@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from proqa_tpu.ops.mips import _precision
+
 _NT = (((1,), (1,)), ((), ()))  # contract last dims: [QB,D] x [block,D] -> [QB,block]
 
 
@@ -38,7 +40,9 @@ def _kernel(ids_ref, q_ref, *refs, qb: int, jb: int, block: int):
         for qi in range(qb):
             c = c_refs[jj * qb + qi][0]            # [block, D]
             s = jax.lax.dot_general(
-                q, c, _NT, preferred_element_type=jnp.float32
+                q, c, _NT, preferred_element_type=jnp.float32,
+                precision=_precision(q.dtype),  # pin: global "highest"
+                # makes bf16 dots fp32 contracts, which Mosaic rejects
             )                                      # [QB, block]
             out_ref[qi, pl.ds(jj * block, block)] = s[qi, :]
 

@@ -30,7 +30,12 @@ from proqa_tpu.ops.mips import (
 
 
 def _bmax_kernel(qt_ref, c_ref, out_ref, *, block: int, tn: int, tq: int):
-    s = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32)  # [TN, TQ]
+    # precision pinned per-dot: a global jax_default_matmul_precision of
+    # "highest" (the from-scratch-training fix, CLAUDE.md) would otherwise
+    # reach this dot as an fp32 contract on bf16 operands, which Mosaic
+    # rejects at compile ("Bad lhs type").
+    s = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
+                precision=_precision(qt_ref.dtype))  # [TN, TQ]
     out_ref[:] = jnp.max(s.reshape(tn // block, block, tq), axis=1)
 
 
@@ -130,6 +135,8 @@ def _bmax3_body(qt_ref, c_ref, sc_ref, b3_ref, g_ref, *, block, tq, group, sub,
         s = jnp.dot(
             c_ref[i * step : (i + 1) * step].astype(qt_ref.dtype), qt_ref[:],
             preferred_element_type=jnp.float32,
+            precision=_precision(qt_ref.dtype),  # never the global default:
+            # an fp32 contract on bf16 operands fails Mosaic at compile
         )                                                   # [rows/sub, TQ]
         outs.append(jnp.max(s.reshape(step // block, block, tq), axis=1))
     bm = outs[0] if sub == 1 else jnp.concatenate(outs, axis=0)  # [G, TQ]

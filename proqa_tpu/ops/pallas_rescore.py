@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from proqa_tpu.ops.mips import _precision
+
 _QB = 8  # queries per grid step (min sublane tile)
 
 
@@ -94,6 +96,8 @@ def _kernel(ids_ref, q_ref, hbm_ref, out_ref, cand, sems, *,
             q_ref[ql:ql + 1], rows,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_precision(q_ref.dtype),  # pin: global "highest"
+            # makes bf16 dots fp32 contracts, which Mosaic rejects
         )                                                    # [1, 128]
         out_ref[ql, :] = s[0]
 

@@ -364,3 +364,61 @@ def test_block_maxima_grouped_int8_scales():
         np.asarray(g).reshape(cg, q).T,
         want.reshape(q, cg, group).max(-1), rtol=1e-4, atol=1e-4,
     )
+
+
+def test_kernels_ignore_global_matmul_precision():
+    """Every dot inside a Pallas kernel file must pin `precision=` explicitly.
+
+    The from-scratch-training collapse fix (CLAUDE.md) sets the GLOBAL
+    jax_default_matmul_precision to "highest"; any in-kernel dot that defers
+    to the default (precision=None) then lowers as an fp32 contract on bf16
+    operands, which Mosaic rejects at COMPILE TIME ("Bad lhs type") — a
+    hardware-only failure invisible to the interpret-mode suite (it killed
+    tools/int8_real_probe.py's search stage on v5e in round 5). Guard at the
+    AST level: every dot/dot_general/einsum in ops/pallas_*.py carries a
+    precision keyword.
+    """
+    import ast
+    import pathlib
+
+    ops_dir = pathlib.Path(__file__).parent.parent / "proqa_tpu" / "ops"
+    files = sorted(ops_dir.glob("pallas_*.py"))
+    assert files, "pallas kernel files moved? update this test"
+    missing = []
+    for f in files:
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = fn.attr if isinstance(fn, ast.Attribute) else (
+                fn.id if isinstance(fn, ast.Name) else "")
+            if name not in ("dot", "dot_general", "einsum"):
+                continue
+            if not any(kw.arg == "precision" for kw in node.keywords):
+                missing.append(f"{f.name}:{node.lineno}")
+    assert not missing, (
+        "dots without an explicit precision= (the global matmul precision "
+        f"would leak into the Mosaic kernel): {missing}"
+    )
+
+
+def test_pallas_v2_under_global_highest_precision():
+    """mips_topk_pallas_v2 on a bf16 corpus still runs (and stays exact)
+    with jax_default_matmul_precision='highest' active — the config the
+    from-scratch-training fix installs process-wide."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n, d, q, k = 512, 128, 16, 8
+    corpus = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.bfloat16)
+    with jax.default_matmul_precision("highest"):
+        vals, idx = mips_topk_pallas_v2(
+            queries, corpus, k=k, block=8, group=16, tile_q=16,
+            interpret=True,
+        )
+    scores = np.asarray(queries, np.float32) @ np.asarray(corpus, np.float32).T
+    want = np.sort(scores, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(np.sort(np.asarray(vals))[:, ::-1], want,
+                               rtol=2e-2, atol=2e-2)

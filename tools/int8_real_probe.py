@@ -79,116 +79,136 @@ def main() -> None:
     def emit():
         print(json.dumps(res), flush=True)
 
-    # ---- synthetic text world (numpy-vectorized: 1M python joins only) ----
-    t0 = time.monotonic()
-    rng = np.random.default_rng(0)
-    words = np.array([f"tok{i}" for i in range(2000)])
-    import tempfile
-    root = tempfile.mkdtemp(prefix="int8_real_")
-    vocab_path = os.path.join(root, "vocab.txt")
-    with open(vocab_path, "w") as f:
-        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-                          + list(words)))
-    tok = BertTokenizer.from_vocab_file(vocab_path)
-    word_ids = np.array(tok.convert_tokens_to_ids(list(words)), np.int32)
+    # Crash insurance for the expensive stages: ~18 min of f32 training +
+    # ~70 s of encode on the tunneled chip (round-5 run 1 lost both to a
+    # Mosaic compile failure in the SEARCH stage). Cache the trained-encoder
+    # embeddings; a rerun skips straight to quantize/search.
+    cache = os.environ.get("EMB_CACHE", "" if tiny else "/tmp/int8_real_cache.npz")
+    cached = None
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        if z["emb"].shape == (n, 128) and z["qf32"].shape == (q_n, 128):
+            cached = (np.ascontiguousarray(z["emb"]),
+                      np.ascontiguousarray(z["qf32"]))
+            res["emb_cache"] = cache
 
-    para_words = rng.integers(0, len(words), (n, 20))
-    res["gen_s"] = round(time.monotonic() - t0, 1)
-    emit()
+    if cached is not None:
+        emb, qf32 = cached
+        emit()
+    else:
+        # ---- synthetic text world (numpy-vectorized: 1M python joins only) ----
+        t0 = time.monotonic()
+        rng = np.random.default_rng(0)
+        words = np.array([f"tok{i}" for i in range(2000)])
+        import tempfile
+        root = tempfile.mkdtemp(prefix="int8_real_")
+        vocab_path = os.path.join(root, "vocab.txt")
+        with open(vocab_path, "w") as f:
+            f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                              + list(words)))
+        tok = BertTokenizer.from_vocab_file(vocab_path)
+        word_ids = np.array(tok.convert_tokens_to_ids(list(words)), np.int32)
 
-    # token ids derive directly from word indices (single-wordpiece vocab):
-    # paragraphs [CLS] w*20 [SEP] = 22 tokens, queries 6-word snippets
-    cls_id, sep_id = tok.cls_id, tok.sep_id
-    para_ids = np.concatenate([
-        np.full((n, 1), cls_id, np.int32),
-        word_ids[para_words],
-        np.full((n, 1), sep_id, np.int32),
-    ], axis=1)                                               # [n, 22]
+        para_words = rng.integers(0, len(words), (n, 20))
+        res["gen_s"] = round(time.monotonic() - t0, 1)
+        emit()
 
-    def snippet_ids(rows: np.ndarray, seed: int) -> np.ndarray:
-        r = np.random.default_rng(seed)
-        starts = r.integers(0, 20 - 6, len(rows))
-        sel = para_words[rows]
-        snips = np.stack([sel[i, s:s + 6] for i, s in enumerate(starts)])
-        return np.concatenate([
-            np.full((len(rows), 1), cls_id, np.int32),
-            word_ids[snips],
-            np.full((len(rows), 1), sep_id, np.int32),
-        ], axis=1)                                           # [m, 8]
+        # token ids derive directly from word indices (single-wordpiece vocab):
+        # paragraphs [CLS] w*20 [SEP] = 22 tokens, queries 6-word snippets
+        cls_id, sep_id = tok.cls_id, tok.sep_id
+        para_ids = np.concatenate([
+            np.full((n, 1), cls_id, np.int32),
+            word_ids[para_words],
+            np.full((n, 1), sep_id, np.int32),
+        ], axis=1)                                               # [n, 22]
 
-    # ---- train a retriever on snippet->paragraph pairs ----
-    t0 = time.monotonic()
-    # From-scratch BERT-BASE collapses to the uniform plateau here (two runs:
-    # constant 1e-4 AND warmup->6e-4 both end at loss = ln(80) = 4.382,
-    # acc = 1/80, row-norm p5..p95 = 15.650..15.653 over 1M rows — identical
-    # embeddings, so recall-vs-bf16 is tie-order noise, 0.0). A from-scratch
-    # base model needs real-pretraining budgets to escape that attractor;
-    # what this probe needs is a retriever that actually RANKS, so it trains
-    # a 4-layer/256-hidden encoder to high in-batch acc instead — trained,
-    # non-degenerate geometry (the output space is the same 128-dim).
-    cfg = (BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0,
-                           attention_dropout=0.0, initializer_range=0.1,
-                           vocab_size=2005)
-           if tiny else
-           # recipe CPU-swept in tools/collapse_sweep{,2}.py: f32, init 0.05,
-           # lr 3e-4 + 100-step warmup is the config that LEARNS (acc 13x
-           # chance by step 700 at 2L/128; init 0.1 or lr>=1e-3 or a 0.1x
-           # projection init all collapse or stall)
-           BertConfig(dtype=jnp.float32, vocab_size=2005,
-                      hidden_size=256, num_layers=4, num_heads=4,
-                      intermediate_size=1024, max_position_embeddings=64,
-                      initializer_range=0.05, hidden_dropout=0.0,
-                      attention_dropout=0.0))
-    params = init_retriever_params(jax.random.PRNGKey(0), cfg)
-    tx = (make_optimizer(1e-3) if tiny else
-          make_optimizer(3e-4, warmup_steps=100, total_steps=steps))
-    state = init_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(cfg, tx))
-    key = jax.random.PRNGKey(1)
-    bsz = 16 if tiny else 80
-    loss0 = loss1 = acc1 = None
-    for i in range(steps):
-        rows = rng.integers(0, n, bsz)
-        batch = {
-            "input_ids_q": jnp.asarray(snippet_ids(rows, 1000 + i)),
-            "input_ids_c": jnp.asarray(para_ids[rows]),
-        }
-        batch["input_mask_q"] = (batch["input_ids_q"] != 0).astype(jnp.int32)
-        batch["input_mask_c"] = (batch["input_ids_c"] != 0).astype(jnp.int32)
-        state, m = step_fn(state, batch, jax.random.fold_in(key, i))
-        if i == 0:
-            loss0 = float(m["loss"])
-        if i % 100 == 0 or i == steps - 1:
-            print(f"step {i} loss {float(m['loss']):.3f} "
-                  f"acc {float(m['acc']):.3f}", flush=True)
-        loss1, acc1 = float(m["loss"]), float(m["acc"])
-    res.update(train_s=round(time.monotonic() - t0, 1),
-               loss_first=round(loss0, 3), loss_last=round(loss1, 3),
-               acc_last=round(acc1, 3))
-    emit()
+        def snippet_ids(rows: np.ndarray, seed: int) -> np.ndarray:
+            r = np.random.default_rng(seed)
+            starts = r.integers(0, 20 - 6, len(rows))
+            sel = para_words[rows]
+            snips = np.stack([sel[i, s:s + 6] for i, s in enumerate(starts)])
+            return np.concatenate([
+                np.full((len(rows), 1), cls_id, np.int32),
+                word_ids[snips],
+                np.full((len(rows), 1), sep_id, np.int32),
+            ], axis=1)                                           # [m, 8]
 
-    # ---- encode the corpus with the trained context tower ----
-    from proqa_tpu.models.retriever import encode_context, encode_query
-    t0 = time.monotonic()
-    enc_c = jax.jit(lambda p, i, m: encode_context(p, cfg, i, m))
-    ebs = 512 if tiny else 4096
-    emb = np.empty((n, 128), np.float32)
-    ids_all = jnp.asarray(para_ids)
-    for s in range(0, n, ebs):
-        chunk = ids_all[s:s + ebs]
-        emb[s:s + ebs] = np.asarray(
-            enc_c(state.params, chunk, (chunk != 0).astype(jnp.int32)),
+        # ---- train a retriever on snippet->paragraph pairs ----
+        t0 = time.monotonic()
+        # From-scratch BERT-BASE collapses to the uniform plateau here (two runs:
+        # constant 1e-4 AND warmup->6e-4 both end at loss = ln(80) = 4.382,
+        # acc = 1/80, row-norm p5..p95 = 15.650..15.653 over 1M rows — identical
+        # embeddings, so recall-vs-bf16 is tie-order noise, 0.0). A from-scratch
+        # base model needs real-pretraining budgets to escape that attractor;
+        # what this probe needs is a retriever that actually RANKS, so it trains
+        # a 4-layer/256-hidden encoder to high in-batch acc instead — trained,
+        # non-degenerate geometry (the output space is the same 128-dim).
+        cfg = (BertConfig.tiny(dtype=jnp.float32, hidden_dropout=0.0,
+                               attention_dropout=0.0, initializer_range=0.1,
+                               vocab_size=2005)
+               if tiny else
+               # recipe CPU-swept in tools/collapse_sweep{,2}.py: f32, init 0.05,
+               # lr 3e-4 + 100-step warmup is the config that LEARNS (acc 13x
+               # chance by step 700 at 2L/128; init 0.1 or lr>=1e-3 or a 0.1x
+               # projection init all collapse or stall)
+               BertConfig(dtype=jnp.float32, vocab_size=2005,
+                          hidden_size=256, num_layers=4, num_heads=4,
+                          intermediate_size=1024, max_position_embeddings=64,
+                          initializer_range=0.05, hidden_dropout=0.0,
+                          attention_dropout=0.0))
+        params = init_retriever_params(jax.random.PRNGKey(0), cfg)
+        tx = (make_optimizer(1e-3) if tiny else
+              make_optimizer(3e-4, warmup_steps=100, total_steps=steps))
+        state = init_train_state(params, tx)
+        step_fn = jax.jit(make_train_step(cfg, tx))
+        key = jax.random.PRNGKey(1)
+        bsz = 16 if tiny else 80
+        loss0 = loss1 = acc1 = None
+        for i in range(steps):
+            rows = rng.integers(0, n, bsz)
+            batch = {
+                "input_ids_q": jnp.asarray(snippet_ids(rows, 1000 + i)),
+                "input_ids_c": jnp.asarray(para_ids[rows]),
+            }
+            batch["input_mask_q"] = (batch["input_ids_q"] != 0).astype(jnp.int32)
+            batch["input_mask_c"] = (batch["input_ids_c"] != 0).astype(jnp.int32)
+            state, m = step_fn(state, batch, jax.random.fold_in(key, i))
+            if i == 0:
+                loss0 = float(m["loss"])
+            if i % 100 == 0 or i == steps - 1:
+                print(f"step {i} loss {float(m['loss']):.3f} "
+                      f"acc {float(m['acc']):.3f}", flush=True)
+            loss1, acc1 = float(m["loss"]), float(m["acc"])
+        res.update(train_s=round(time.monotonic() - t0, 1),
+                   loss_first=round(loss0, 3), loss_last=round(loss1, 3),
+                   acc_last=round(acc1, 3))
+        emit()
+
+        # ---- encode the corpus with the trained context tower ----
+        from proqa_tpu.models.retriever import encode_context, encode_query
+        t0 = time.monotonic()
+        enc_c = jax.jit(lambda p, i, m: encode_context(p, cfg, i, m))
+        ebs = 512 if tiny else 4096
+        emb = np.empty((n, 128), np.float32)
+        ids_all = jnp.asarray(para_ids)
+        for s in range(0, n, ebs):
+            chunk = ids_all[s:s + ebs]
+            emb[s:s + ebs] = np.asarray(
+                enc_c(state.params, chunk, (chunk != 0).astype(jnp.int32)),
+                np.float32,
+            )
+        q_rows = rng.integers(0, n, q_n)
+        q_ids = jnp.asarray(snippet_ids(q_rows, 77))
+        enc_q = jax.jit(lambda p, i, m: encode_query(p, cfg, i, m))
+        qf32 = np.asarray(
+            enc_q(state.params, q_ids, (q_ids != 0).astype(jnp.int32)),
             np.float32,
         )
-    q_rows = rng.integers(0, n, q_n)
-    q_ids = jnp.asarray(snippet_ids(q_rows, 77))
-    enc_q = jax.jit(lambda p, i, m: encode_query(p, cfg, i, m))
-    qf32 = np.asarray(
-        enc_q(state.params, q_ids, (q_ids != 0).astype(jnp.int32)),
-        np.float32,
-    )
+        res["encode_s"] = round(time.monotonic() - t0, 1)
+        if cache:
+            np.savez(cache, emb=emb, qf32=qf32)
+            res["emb_cache_saved"] = cache
     queries = jnp.asarray(qf32, jnp.bfloat16)
-    res["encode_s"] = round(time.monotonic() - t0, 1)
     # embedding geometry (how far from iid-normal the real thing is)
     rn = np.linalg.norm(emb, axis=1)
     res["row_norm_p5_p50_p95"] = [round(float(np.percentile(rn, p)), 3)
