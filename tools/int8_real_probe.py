@@ -236,14 +236,17 @@ def main() -> None:
     qd = jnp.asarray(qf32)
 
     @jax.jit
-    def f32_topk(qc):
+    def f32_topk(qc, cf):
+        # corpus as an ARG, not a closure: a closed-over 512 MB constant is
+        # shipped inside the remote-compile payload (HTTP 413, CLAUDE.md)
         from proqa_tpu.ops.mips import exact_topk
-        s = jnp.einsum("qd,nd->qn", qc, cf32,
+        s = jnp.einsum("qd,nd->qn", qc, cf,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
         return exact_topk(s, K)
     f32_idx = np.concatenate(
-        [np.asarray(f32_topk(qd[s:s + 256])[1]) for s in range(0, q_n, 256)])
+        [np.asarray(f32_topk(qd[s:s + 256], cf32)[1])
+         for s in range(0, q_n, 256)])
     del cf32
     truth_f32_scores = np.einsum(
         "qkd,qd->qk", emb[f32_idx], qf32)            # [Q, K] true top-K mass
