@@ -232,22 +232,17 @@ def main() -> None:
     # geometry — compute exact f32 top-K on device (chunked: [256, n] f32
     # score slabs), plus the score-mass each variant retrieves.
     t0 = time.monotonic()
-    cf32 = jnp.asarray(emb)
-    qd = jnp.asarray(qf32)
-
-    @jax.jit
-    def f32_topk(qc, cf):
-        # corpus as an ARG, not a closure: a closed-over 512 MB constant is
-        # shipped inside the remote-compile payload (HTTP 413, CLAUDE.md)
-        from proqa_tpu.ops.mips import exact_topk
-        s = jnp.einsum("qd,nd->qn", qc, cf,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        return exact_topk(s, K)
-    f32_idx = np.concatenate(
-        [np.asarray(f32_topk(qd[s:s + 256], cf32)[1])
-         for s in range(0, q_n, 256)])
-    del cf32
+    # HOST numpy truth: the device version (einsum + recursive exact_topk at
+    # width 1M) hit a pathological >15-min remote compile (CLAUDE.md: keep
+    # tunnel programs structurally small). 2048 x 1M x 128 f32 is ~0.5
+    # TFLOP — seconds on host BLAS — and argpartition gives exact top-K.
+    f32_idx = np.empty((q_n, K), np.int64)
+    for st in range(0, q_n, 256):
+        sc = qf32[st:st + 256] @ emb.T                       # [256, n] f32
+        part = np.argpartition(sc, -K, axis=1)[:, -K:]
+        ordv = np.take_along_axis(sc, part, 1)
+        f32_idx[st:st + 256] = np.take_along_axis(
+            part, np.argsort(-ordv, axis=1), 1)
     truth_f32_scores = np.einsum(
         "qkd,qd->qk", emb[f32_idx], qf32)            # [Q, K] true top-K mass
     truth_mass = truth_f32_scores.sum(-1)
